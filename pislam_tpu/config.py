@@ -1,0 +1,172 @@
+"""Configuration layer for pislam-tpu.
+
+The reference has no config system: everything is a compile-time template
+parameter (vstep/border/logBucketSize/bucketLimit/words, reference
+Fast.h:54,196, Orb.h:396) plus two runtime thresholds (demo.cpp:85-86) and a
+hardcoded pyramid level table (demo.cpp:38-47). Here those become real,
+serialisable dataclasses; everything that shapes traced programs is static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Tuple
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def demo_level_sizes(
+    base_width: int = 640,
+    base_height: int = 480,
+    num_levels: int = 8,
+    inv_scale: float = 5.0 / 6.0,
+) -> Tuple[Tuple[int, int], ...]:
+    """Pyramid level table: round(base * (5/6)**level).
+
+    Reproduces the reference demo's hardcoded table exactly
+    (reference demo.cpp:38-47: 640x480, 533x400, 444x333, 370x278,
+    309x231, 257x193, 214x161, 179x134).
+    """
+    out = []
+    for lvl in range(num_levels):
+        s = inv_scale**lvl
+        out.append((int(round(base_width * s)), int(round(base_height * s))))
+    return tuple(out)
+
+
+@dataclasses.dataclass(frozen=True)
+class PyramidConfig:
+    """Geometry of the stacked image pyramid.
+
+    The pyramid is a single vertically stacked (total_height, stride) uint8
+    buffer, levels top to bottom, each level left-aligned at column 0 (the
+    reference's layout, README.md:56-83). ``stride`` is the padded width
+    (lane-friendly multiple of 128); ``padded_height`` rounds the stack to a
+    sublane-friendly multiple of 8.
+    """
+
+    base_width: int = 640
+    base_height: int = 480
+    num_levels: int = 8
+    inv_scale: float = 5.0 / 6.0
+
+    @property
+    def level_sizes(self) -> Tuple[Tuple[int, int], ...]:
+        return demo_level_sizes(
+            self.base_width, self.base_height, self.num_levels, self.inv_scale
+        )
+
+    @property
+    def level_rows(self) -> Tuple[int, ...]:
+        """Starting row of each level within the stacked buffer."""
+        rows, y = [], 0
+        for _, h in self.level_sizes:
+            rows.append(y)
+            y += h
+        return tuple(rows)
+
+    @property
+    def total_height(self) -> int:
+        return sum(h for _, h in self.level_sizes)
+
+    @property
+    def stride(self) -> int:
+        return round_up(self.base_width, 128)
+
+    @property
+    def padded_height(self) -> int:
+        return round_up(self.total_height, 8)
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    """ORB frontend parameters.
+
+    Defaults mirror the reference demo (demo.cpp:85-89): FAST threshold 20,
+    Harris threshold 1<<15, border 16, no bucketing, 8-word (256-bit)
+    descriptors. ``max_keypoints`` is the fixed keypoint capacity (XLA needs
+    static shapes; the variable-length std::vector of the reference becomes a
+    top-K tensor with a validity mask).
+    """
+
+    fast_threshold: int = 20
+    harris_threshold: int = 1 << 15
+    border: int = 16
+    log_bucket_size: int = 0  # 0 disables spatial bucketing (demo default)
+    bucket_limit: int = 5
+    words: int = 8
+    max_keypoints: int = 4096
+
+    def __post_init__(self):
+        assert self.border >= 16, "border must cover FAST(3)+Harris(4)+ORB(15)"
+        assert 1 <= self.words <= 8
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherConfig:
+    """Brute-force Hamming matcher parameters."""
+
+    max_distance: int = 64  # max Hamming distance for a valid match
+    ratio: float = 0.8  # Lowe ratio test threshold (second-best filtering)
+    cross_check: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class VOConfig:
+    """Frame-to-frame visual odometry (RANSAC essential matrix)."""
+
+    ransac_iters: int = 256  # vmapped hypotheses (fixed shape)
+    sample_size: int = 8  # 8-point algorithm
+    inlier_threshold: float = 1.5e-3  # Sampson distance in normalised coords
+    min_inliers: int = 15
+
+
+@dataclasses.dataclass(frozen=True)
+class BAConfig:
+    """Windowed sparse bundle adjustment (Schur complement)."""
+
+    window: int = 8  # camera poses per BA window
+    max_points: int = 2048  # padded landmark capacity
+    max_obs: int = 16384  # padded observation capacity
+    gn_iters: int = 8  # Gauss-Newton/LM iterations (static)
+    damping: float = 1e-4  # initial LM damping
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh for multi-chip scaling (data axis = frames, model axis =
+    map shards). The reference has no distributed layer (SURVEY.md section 2);
+    this is specified by the north star in BASELINE.json."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    data_parallel: int = 1
+    model_parallel: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class PislamConfig:
+    pyramid: PyramidConfig = dataclasses.field(default_factory=PyramidConfig)
+    frontend: FrontendConfig = dataclasses.field(default_factory=FrontendConfig)
+    matcher: MatcherConfig = dataclasses.field(default_factory=MatcherConfig)
+    vo: VOConfig = dataclasses.field(default_factory=VOConfig)
+    ba: BAConfig = dataclasses.field(default_factory=BAConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "PislamConfig":
+        d = json.loads(s)
+        return PislamConfig(
+            pyramid=PyramidConfig(**d.get("pyramid", {})),
+            frontend=FrontendConfig(**d.get("frontend", {})),
+            matcher=MatcherConfig(**d.get("matcher", {})),
+            vo=VOConfig(**d.get("vo", {})),
+            ba=BAConfig(**d.get("ba", {})),
+            mesh=MeshConfig(**d.get("mesh", {})),
+        )

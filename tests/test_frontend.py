@@ -1,0 +1,91 @@
+"""End-to-end frontend parity on a small synthetic stacked pyramid.
+
+Mirrors the reference demo's pipeline (demo.cpp:78-101): per-level
+detect/score/extract with global-y re-encoding, then whole-pyramid ORB.
+The oracle chain is the literal per-pixel implementation.
+"""
+
+import dataclasses
+
+import numpy as np
+
+import oracles
+from pislam_tpu.config import FrontendConfig, PislamConfig, PyramidConfig
+from pislam_tpu.frontend import make_extract_fn
+
+
+def small_config():
+    pyr = PyramidConfig(base_width=96, base_height=80, num_levels=2)
+    fe = FrontendConfig(fast_threshold=20, harris_threshold=1 << 10,
+                        border=16, max_keypoints=512)
+    return PislamConfig(pyramid=pyr, frontend=fe)
+
+
+def build_stack(cfg):
+    pc = cfg.pyramid
+    stack = np.zeros((pc.padded_height, pc.stride), np.uint8)
+    for (w, h), r in zip(pc.level_sizes, pc.level_rows):
+        stack[r:r + h, :w] = oracles.make_test_image(h, w, seed=r + 1)
+    return stack
+
+
+def oracle_pipeline(stack, cfg):
+    pc, fc = cfg.pyramid, cfg.frontend
+    points = []
+    for (w, h), r in zip(pc.level_sizes, pc.level_rows):
+        img = stack[r:r + h, :w]
+        mask = oracles.fast_detect(img, fc.fast_threshold, fc.border)
+        score = oracles.fast_score_harris(img, mask, fc.harris_threshold,
+                                          fc.border)
+        pts = oracles.fast_extract(score, fc.border)
+        for p in pts:
+            s, x, y = p >> 24, (p >> 12) & 0xFFF, p & 0xFFF
+            points.append((s << 24) | (x << 12) | (y + r))
+    feats = {}
+    for p in points:
+        x, y = (p >> 12) & 0xFFF, p & 0xFFF
+        m10, m01 = oracles.centroid(stack, x, y)
+        ang = oracles.atan2_bin(m10, m01)
+        desc = tuple(
+            w & 0xFFFFFFFF
+            for w in oracles.brief_describe(stack, x, y, ang, fc.words)
+        )
+        feats[p] = (ang, desc)
+    return feats
+
+
+def test_end_to_end_parity():
+    cfg = small_config()
+    extract = make_extract_fn(cfg)
+    stack = build_stack(cfg)
+    out = extract(stack)
+
+    want = oracle_pipeline(stack, cfg)
+
+    valid = np.asarray(out.valid)
+    codes = np.asarray(out.codes)[valid]
+    angles = np.asarray(out.angles)[valid]
+    descs = np.asarray(out.descriptors)[valid]
+
+    assert len(want) > 5, "test pyramid should produce keypoints"
+    assert set(codes.tolist()) == set(want.keys())
+
+    for i, code in enumerate(codes.tolist()):
+        wang, wdesc = want[code]
+        assert angles[i] == wang, (hex(code), angles[i], wang)
+        assert tuple(descs[i].tolist()) == wdesc, hex(code)
+
+
+def test_strongest_first_and_capacity():
+    cfg = small_config()
+    cfg2 = PislamConfig(
+        pyramid=cfg.pyramid,
+        frontend=dataclasses.replace(cfg.frontend, max_keypoints=8),
+    )
+    stack = build_stack(cfg)
+    all_feats = make_extract_fn(cfg)(stack)
+    top8 = make_extract_fn(cfg2)(stack)
+    codes_all = np.asarray(all_feats.codes)[np.asarray(all_feats.valid)]
+    codes_8 = np.asarray(top8.codes)[np.asarray(top8.valid)]
+    assert len(codes_8) == min(8, len(codes_all))
+    assert codes_8.tolist() == sorted(codes_all.tolist(), reverse=True)[: len(codes_8)]
