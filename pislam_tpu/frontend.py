@@ -68,7 +68,7 @@ def _extract_impl(img, level_mask, cfg: PislamConfig) -> Features:
 
     xs = codec.decode_x(codes).astype(jnp.int32)
     ys = codec.decode_y(codes).astype(jnp.int32)
-    p = patches.gather_patches(img, xs, ys, valid)
+    p = patches.gather_patches_s8(img, xs, ys, valid)
     m10, m01 = orientation.centroids(p)
     angles = orientation.atan2_bins(m10, m01)
     desc = brief.describe(p, angles, fc.words)

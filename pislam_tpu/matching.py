@@ -1,0 +1,91 @@
+"""Brute-force Hamming descriptor matching on the MXU.
+
+The reference delegates matching to external FLANN with LUT popcounts
+(<20 ms/frame on Pi3, README.md:125-128, "room for improvement") and ships
+nothing. TPU-native design: expand each 256-bit descriptor to a +/-1 int8
+vector; then
+
+    dot(a, b) = 256 - 2 * hamming(a, b)   =>   hamming = (256 - dot) >> 1
+
+so the full K1 x K2 distance matrix is ONE int8 MXU matmul (exact int32
+accumulation), followed by vectorised best/second-best reduction, Lowe ratio
+test, distance threshold, and mutual cross-check -- all fixed-shape.
+
+Invalid slots (validity mask false) get distance MAX_DIST and can never match.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+MAX_DIST = 1 << 14  # sentinel > any real Hamming distance (<= 256)
+
+
+def expand_pm1(desc):
+    """(K, words) uint32 packed bits -> (K, words*32) int8 in {-1, +1}."""
+    k, words = desc.shape
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (desc[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    bits = bits.reshape(k, words * 32)
+    return (2 * bits.astype(jnp.int32) - 1).astype(jnp.int8)
+
+
+def hamming_matrix(desc1, desc2, valid1=None, valid2=None):
+    """(K1, w), (K2, w) packed descriptors -> (K1, K2) int32 Hamming distances.
+
+    Exact: dot on the MXU in int8 with int32 accumulation.
+    """
+    nbits = desc1.shape[1] * 32
+    a = expand_pm1(desc1)
+    b = expand_pm1(desc2)
+    dot = jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    dist = (nbits - dot) >> 1
+    if valid1 is not None:
+        dist = jnp.where(valid1[:, None], dist, MAX_DIST)
+    if valid2 is not None:
+        dist = jnp.where(valid2[None, :], dist, MAX_DIST)
+    return dist
+
+
+def _best_two(dist):
+    """Row-wise (best_idx, best, second_best) of a distance matrix."""
+    best_idx = jnp.argmin(dist, axis=1)
+    best = jnp.take_along_axis(dist, best_idx[:, None], axis=1)[:, 0]
+    masked = dist.at[jnp.arange(dist.shape[0]), best_idx].set(MAX_DIST)
+    second = jnp.min(masked, axis=1)
+    return best_idx, best, second
+
+
+@partial(jax.jit, static_argnames=("max_distance", "cross_check"))
+def match(desc1, desc2, valid1, valid2, max_distance: int = 64,
+          ratio: float = 0.8, cross_check: bool = True):
+    """Match descriptors frame1 -> frame2.
+
+    Returns (idx2 (K1,) int32 with -1 for unmatched, dist (K1,) int32).
+    Filters: Hamming <= max_distance, Lowe ratio best < ratio*second,
+    and optional mutual-best cross-check.
+    """
+    dist = hamming_matrix(desc1, desc2, valid1, valid2)
+    idx2, best, second = _best_two(dist)
+    ok = best <= max_distance
+    ok &= best.astype(jnp.float32) < ratio * second.astype(jnp.float32)
+    if cross_check:
+        rbest_idx = jnp.argmin(dist, axis=0)  # best frame1 index per frame2 col
+        ok &= rbest_idx[idx2] == jnp.arange(dist.shape[0])
+    ok &= valid1
+    return jnp.where(ok, idx2, -1), jnp.where(ok, best, MAX_DIST)
+
+
+def match_features(f1, f2, cfg):
+    """Convenience wrapper over Features pairs (frontend.Features)."""
+    return match(
+        f1.descriptors, f2.descriptors, f1.valid, f2.valid,
+        max_distance=cfg.matcher.max_distance, ratio=cfg.matcher.ratio,
+        cross_check=cfg.matcher.cross_check,
+    )

@@ -16,11 +16,23 @@ zero), then clamped to [-15, 15].
 Bit packing: word w, bit b -> pattern index 32*w + b; bits OR'd as 1 << b
 (Brief.h:71-133). `words` in 1..8 selects 32..256-bit descriptors
 (Orb.h:389-392).
+
+Compute formulation: per-keypoint gathers of the 512 sample points are
+slice-bound on TPU, so instead descriptor bit (rot, i) is evaluated as
+
+    sign( patch_flat . (onehot(idx1[rot,i]) - onehot(idx0[rot,i])) ) > 0
+
+i.e. ONE (K, 961) x (961, 30*256) matmul against a constant {-1,0,+1} int8
+matrix computes p1 - p0 for every bit of every rotation on the MXU (exact in
+int32), followed by a per-keypoint angle select. Offset-invariant, so it
+accepts both uint8 patches and the int8 (pixel-128) patches produced by
+patches.gather_patches_s8.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ._brief_pattern import BRIEF_PATTERN
@@ -56,21 +68,41 @@ def _rotation_tables():
 IDX0, IDX1 = _rotation_tables()
 
 
+def _diff_matrix() -> np.ndarray:
+    """(961, 30*256) int8: column (rot*256+i) = onehot(idx1) - onehot(idx0)."""
+    g = np.zeros((PATCH * PATCH, N_ROT * N_BITS), np.int8)
+    for rot in range(N_ROT):
+        cols = rot * N_BITS + np.arange(N_BITS)
+        np.add.at(g, (IDX1[rot], cols), 1)
+        np.subtract.at(g, (IDX0[rot], cols), 1)
+    return g
+
+GDIFF = _diff_matrix()
+
+
 def describe(patches, angles, words: int = 8):
     """(K, 31, 31) patches + (K,) uint8 angle bins -> (K, words) uint32.
 
     Equivalent to briefDescribe over every keypoint (orbCompute's 15-pass
     I-cache trick, Orb.h:402-421, is irrelevant on TPU: all 30 rotations are
-    one table lookup).
+    one MXU matmul). Accepts uint8 or offset int8 patches (see module doc).
     """
     k = patches.shape[0]
     flat = patches.reshape(k, PATCH * PATCH)
-    a = angles.astype(jnp.int32)
-    i0 = jnp.asarray(IDX0)[a]  # (K, 256)
-    i1 = jnp.asarray(IDX1)[a]
-    p0 = jnp.take_along_axis(flat, i0, axis=1)
-    p1 = jnp.take_along_axis(flat, i1, axis=1)
-    bits = (p0 < p1).astype(jnp.uint32)  # (K, 256)
+    if flat.dtype == jnp.int8:
+        lhs, rhs = flat, jnp.asarray(GDIFF)
+    else:
+        lhs, rhs = flat.astype(jnp.float32), jnp.asarray(GDIFF, jnp.float32)
+    diff = jax.lax.dot_general(
+        lhs, rhs,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32 if lhs.dtype == jnp.int8 else jnp.float32,
+    )  # (K, 30*256): p1 - p0 per (rot, bit)
+    diff = diff.reshape(k, N_ROT, N_BITS)
+    sel = (angles.astype(jnp.int32)[:, None]
+           == jnp.arange(N_ROT, dtype=jnp.int32)[None, :])
+    dsel = jnp.sum(diff * sel[:, :, None].astype(diff.dtype), axis=1)  # (K, 256)
+    bits = (dsel > 0).astype(jnp.uint32)
     bits = bits[:, : words * 32].reshape(k, words, 32)
     shifts = jnp.arange(32, dtype=jnp.uint32)
     return jnp.sum(bits << shifts, axis=-1, dtype=jnp.uint32)

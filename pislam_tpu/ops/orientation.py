@@ -53,7 +53,12 @@ MOMENT_WEIGHTS = _moment_weights()
 
 
 def centroids(patches):
-    """(K, 31, 31) uint8 -> (K,) m10, (K,) m01 int32 (exact, Orb.h:81-308)."""
+    """(K, 31, 31) patches -> (K,) m10, (K,) m01 int32 (exact, Orb.h:81-308).
+
+    Accepts uint8 pixels or the int8 (pixel-128) patches from
+    patches.gather_patches_s8: the disc weight columns sum to zero (the disc
+    is symmetric and the weights odd), so the -128 offset cancels exactly.
+    """
     k = patches.shape[0]
     p = patches.reshape(k, PATCH * PATCH).astype(jnp.float32)
     m = jnp.dot(p, jnp.asarray(MOMENT_WEIGHTS), preferred_element_type=jnp.float32)

@@ -1,35 +1,66 @@
-"""Per-keypoint 31x31 patch gather.
+"""Per-keypoint 31x31 patch gather, MXU-formulated.
 
-The reference's per-feature stages (orbCentroids' radius-15 disc moments,
-Orb.h:80-308, and the BRIEF compares, Brief.h:28-53) all read from the
-31x31 window around each keypoint. We gather that window once per keypoint
-into a (K, 31, 31) tensor; orientation reduces it with one MXU matmul and
-BRIEF indexes it with a per-rotation lookup table, so the gather is the only
-irregular memory access in the whole frontend (SURVEY.md section 7, hard
-part (b)).
+The reference's per-feature stages (orbCentroids' disc moments, Orb.h:80-308,
+and the BRIEF compares, Brief.h:28-53) read the 31x31 window around each
+keypoint. A naive XLA gather of (K, 31, 31) windows is slice-count-bound on
+TPU (~10x too slow); instead we:
 
-Invalid keypoints are redirected to a safe coordinate (border, border); their
-outputs are garbage and must be masked by `valid`.
+1. gather one aligned (32, SLAB) slab per keypoint with vmap(dynamic_slice)
+   -- K big slices instead of K*31 row slices;
+2. extract the 31 patch columns with a per-keypoint one-hot (SLAB, 31)
+   selection matmul on the MXU (int8 x int8 -> int32, exact).
+
+Patches are returned as int8 **offset by -128** (value = I - 128, an
+order-preserving bijection of uint8). Both consumers are offset-invariant:
+disc moments use zero-sum weights (sum w = 0 over the symmetric disc) and
+BRIEF compares differences; see orientation.py / brief.py.
+
+Invalid keypoints are redirected to a safe interior coordinate; their outputs
+are garbage and must be masked by `valid`. Callers must guarantee
+border >= 15 clearance for valid keypoints (FrontendConfig asserts
+border >= 16), so the clamped slab never actually clips.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 RADIUS = 15
 PATCH = 2 * RADIUS + 1  # 31
 
 
-def gather_patches(img, xs, ys, valid):
-    """img (H, W) uint8; xs/ys (K,) int32 -> (K, 31, 31) uint8 patches."""
+def gather_patches_s8(img, xs, ys, valid):
+    """img (H, W) uint8; xs/ys (K,) int32 -> (K, 31, 31) int8 (= pixel - 128)."""
     h, w = img.shape
+    slab_h = 2 * RADIUS + 2  # 32 rows (sublane-aligned height)
+    slab_w = min(256, w)
+    assert w >= PATCH and h >= slab_h
+
     safe_x = jnp.where(valid, xs, RADIUS + 1).astype(jnp.int32)
     safe_y = jnp.where(valid, ys, RADIUS + 1).astype(jnp.int32)
-    dy = jnp.arange(-RADIUS, RADIUS + 1, dtype=jnp.int32)
-    dx = jnp.arange(-RADIUS, RADIUS + 1, dtype=jnp.int32)
-    rows = safe_y[:, None] + dy[None, :]  # (K, 31)
-    cols = safe_x[:, None] + dx[None, :]  # (K, 31)
-    # clamp for safety; valid keypoints always have border >= 15 clearance
-    rows = jnp.clip(rows, 0, h - 1)
-    cols = jnp.clip(cols, 0, w - 1)
-    return img[rows[:, :, None], cols[:, None, :]]
+
+    s8 = (img ^ jnp.uint8(0x80)).astype(jnp.int8)
+    y0 = jnp.clip(safe_y - RADIUS, 0, h - slab_h)
+    x0 = jnp.clip(safe_x - RADIUS, 0, w - slab_w)
+    slabs = jax.vmap(
+        lambda y, x: jax.lax.dynamic_slice(s8, (y, x), (slab_h, slab_w))
+    )(y0, x0)  # (K, 32, SLAB)
+
+    phi = (safe_x - RADIUS) - x0  # lane offset of patch within slab
+    csel = (
+        jnp.arange(slab_w, dtype=jnp.int32)[None, :, None]
+        == (phi[:, None, None] + jnp.arange(PATCH, dtype=jnp.int32)[None, None, :])
+    ).astype(jnp.int8)  # (K, SLAB, 31)
+    p = jax.lax.dot_general(
+        slabs, csel,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )  # (K, 32, 31)
+    return p[:, :PATCH, :].astype(jnp.int8)
+
+
+def gather_patches(img, xs, ys, valid):
+    """Raw-pixel variant: (K, 31, 31) uint8. Test/reference helper."""
+    p = gather_patches_s8(img, xs, ys, valid)
+    return (p.astype(jnp.int16) + 128).astype(jnp.uint8)
