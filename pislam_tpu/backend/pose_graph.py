@@ -1,0 +1,119 @@
+"""Pose-graph optimisation (Gauss-Newton over SE(3) relative constraints).
+
+No reference counterpart; part of the backend specified by BASELINE.json
+configs[3]. Fixed-shape: N pose nodes, M edges with validity masks. For the
+window/keyframe-graph sizes SLAM uses (N <= a few hundred), the full (6N, 6N)
+normal matrix is small; we assemble it densely with segment_sums and solve
+with a damped dense factorisation -- the TPU-friendly inversion of sparse
+CPU solvers. Node 0 is gauge-fixed.
+
+Edge residual (right-perturbation convention):
+    r_ij = log( Z_ij^{-1} (X_i^{-1} X_j) )
+with Jacobians approximated at identity perturbation (standard Gauss-Newton
+for pose graphs; exact enough near convergence, iterated otherwise).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3
+
+
+class PoseGraph(NamedTuple):
+    R: jax.Array          # (N, 3, 3)
+    t: jax.Array          # (N, 3)
+    edge_i: jax.Array     # (M,) int32
+    edge_j: jax.Array     # (M,) int32
+    edge_R: jax.Array     # (M, 3, 3) measured relative rotation (i -> j)
+    edge_t: jax.Array     # (M, 3)
+    edge_valid: jax.Array  # (M,) bool
+    node_valid: jax.Array  # (N,) bool
+
+
+def edge_residuals(g: PoseGraph):
+    """(M, 6) twist residuals log(Z^{-1} X_i^{-1} X_j)."""
+    Ri, ti = g.R[g.edge_i], g.t[g.edge_i]
+    Rj, tj = g.R[g.edge_j], g.t[g.edge_j]
+    Rinv, tinv = se3.inverse(Ri, ti)
+    Rij, tij = se3.compose(Rinv, tinv, Rj, tj)
+    Zinv_R, Zinv_t = se3.inverse(g.edge_R, g.edge_t)
+    Er, Et = se3.compose(Zinv_R, Zinv_t, Rij, tij)
+    r = se3.se3_log(Er, Et)
+    return r * g.edge_valid[:, None]
+
+
+def _numerical_jacobians(g: PoseGraph, eps: float = 1e-5):
+    """J_i, J_j (M, 6, 6) wrt left-multiplicative twists on nodes i and j.
+
+    Forward differences via one vmapped batch over the 12 perturbation axes
+    (cheap: M x 12 residual evaluations, all vectorised).
+    """
+    def perturbed(axis_onehot, side):
+        dR, dt = se3.se3_exp(axis_onehot)
+
+        def apply(g):
+            if side == 0:
+                Ri = dR[None] @ g.R[g.edge_i]
+                ti = (dR[None] @ g.t[g.edge_i][..., None])[..., 0] + dt[None]
+                Rj, tj = g.R[g.edge_j], g.t[g.edge_j]
+            else:
+                Ri, ti = g.R[g.edge_i], g.t[g.edge_i]
+                Rj = dR[None] @ g.R[g.edge_j]
+                tj = (dR[None] @ g.t[g.edge_j][..., None])[..., 0] + dt[None]
+            Rinv, tinv = se3.inverse(Ri, ti)
+            Rij, tij = se3.compose(Rinv, tinv, Rj, tj)
+            Zinv_R, Zinv_t = se3.inverse(g.edge_R, g.edge_t)
+            Er, Et = se3.compose(Zinv_R, Zinv_t, Rij, tij)
+            return se3.se3_log(Er, Et)
+        return apply(g)
+
+    r0 = perturbed(jnp.zeros(6), 0)
+    eye = jnp.eye(6) * eps
+    ji = jnp.stack([(perturbed(eye[k], 0) - r0) / eps for k in range(6)], -1)
+    jj = jnp.stack([(perturbed(eye[k], 1) - r0) / eps for k in range(6)], -1)
+    m = g.edge_valid[:, None, None]
+    return ji * m, jj * m, r0 * g.edge_valid[:, None]
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def optimize(g: PoseGraph, iters: int = 10, damping: float = 1e-4):
+    """Damped GN iterations; node 0 gauge-fixed. Returns (graph, costs)."""
+    n = g.R.shape[0]
+
+    def step(graph, _):
+        ji, jj, r = _numerical_jacobians(graph)
+        # dense normal equations over (6N)
+        h = jnp.zeros((n, 6, n, 6))
+        b = jnp.zeros((n, 6))
+        hii = jnp.einsum("mki,mkj->mij", ji, ji)
+        hjj = jnp.einsum("mki,mkj->mij", jj, jj)
+        hij = jnp.einsum("mki,mkj->mij", ji, jj)
+        bi = -jnp.einsum("mki,mk->mi", ji, r)
+        bj = -jnp.einsum("mki,mk->mi", jj, r)
+        h = h.at[graph.edge_i, :, graph.edge_i, :].add(hii)
+        h = h.at[graph.edge_j, :, graph.edge_j, :].add(hjj)
+        h = h.at[graph.edge_i, :, graph.edge_j, :].add(hij)
+        h = h.at[graph.edge_j, :, graph.edge_i, :].add(
+            jnp.swapaxes(hij, -1, -2))
+        b = b.at[graph.edge_i].add(bi).at[graph.edge_j].add(bj)
+
+        hd = h.reshape(6 * n, 6 * n) + damping * jnp.eye(6 * n)
+        bd = b.reshape(-1)
+        pin = jnp.repeat(~graph.node_valid | (jnp.arange(n) == 0), 6)
+        hd = jnp.where(pin[:, None] | pin[None, :], jnp.eye(6 * n), hd)
+        bd = jnp.where(pin, 0.0, bd)
+        delta = jnp.linalg.solve(hd, bd).reshape(n, 6)
+        dR, dt = se3.se3_exp(delta)
+        Rn = dR @ graph.R
+        tn = (dR @ graph.t[..., None])[..., 0] + dt
+        new = graph._replace(R=Rn, t=tn)
+        cost = jnp.sum(edge_residuals(new) ** 2)
+        return new, cost
+
+    g, costs = jax.lax.scan(step, g, None, length=iters)
+    return g, costs

@@ -1,0 +1,1 @@
+from . import dist, mesh  # noqa: F401

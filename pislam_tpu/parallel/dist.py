@@ -1,0 +1,122 @@
+"""Distributed execution: data-parallel extraction, sharded BA.
+
+shard_map-based SPMD wrappers (XLA inserts the collectives; they ride ICI on
+a real slice). The reference has no counterpart (SURVEY.md section 2); layout
+follows the north star: frames data-parallel, map blocks model-parallel,
+Schur reductions as psums.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..backend import ba
+from ..config import PislamConfig
+from ..frontend import _extract_impl
+from ..ops import nms
+
+
+def make_batch_extract(cfg: PislamConfig, mesh: Mesh):
+    """Batched data-parallel extraction: frames (B, H, W) sharded on "data".
+
+    B must be a multiple of the data-axis size. Returns a jitted function
+    frames -> Features with leading batch dim, sharded the same way.
+    """
+    pc = cfg.pyramid
+    mask = jnp.asarray(nms.make_level_mask(
+        pc.level_sizes, pc.level_rows, pc.padded_height, pc.stride,
+        cfg.frontend.border))
+
+    def one(frame):
+        return _extract_impl(frame, mask, cfg)
+
+    spec = P("data", None, None)
+    out_spec = P("data")
+
+    @jax.jit
+    def run(frames):
+        f = shard_map(
+            jax.vmap(one), mesh=mesh,
+            in_specs=(spec,), out_specs=out_spec, check_vma=False)
+        return f(frames)
+
+    return run
+
+
+def shard_ba_problem(p: ba.BAProblem, n_shards: int) -> ba.BAProblem:
+    """Re-layout a BA problem for model-parallel solving.
+
+    Landmarks and observations are split into `n_shards` equal slabs with
+    observations co-located with their landmark (obs_pt becomes shard-local).
+    Host-side preprocessing (numpy-friendly, runs once per window).
+    """
+    import numpy as np
+
+    P_ = int(p.points.shape[0])
+    O = int(p.obs_cam.shape[0])
+    assert P_ % n_shards == 0, "pad points to a multiple of the model axis"
+    pp = P_ // n_shards
+
+    obs_pt = np.asarray(p.obs_pt)
+    obs_shard = obs_pt // pp
+    order = np.argsort(obs_shard, kind="stable")
+    counts = np.bincount(obs_shard, minlength=n_shards)
+    per = int(np.max(counts)) if O else 1
+    per = -(-per // 8) * 8  # pad shard obs count to a multiple of 8
+
+    def scatter(a, fill=0):
+        a = np.asarray(a)
+        out = np.full((n_shards, per) + a.shape[1:], fill, a.dtype)
+        pos = 0
+        for s in range(n_shards):
+            c = counts[s]
+            out[s, :c] = a[order[pos:pos + c]]
+            pos += c
+        return out.reshape((n_shards * per,) + a.shape[1:])
+
+    new = ba.BAProblem(
+        R=p.R, t=p.t,
+        points=p.points,
+        obs_cam=jnp.asarray(scatter(p.obs_cam)),
+        obs_pt=jnp.asarray(scatter(obs_pt) % pp),  # shard-local landmark index
+        obs_uv=jnp.asarray(scatter(p.obs_uv)),
+        obs_valid=jnp.asarray(scatter(np.asarray(p.obs_valid), fill=False)),
+        cam_valid=p.cam_valid,
+        pt_valid=p.pt_valid,
+    )
+    return new
+
+
+def make_distributed_ba(mesh: Mesh, iters: int = 8, damping: float = 1e-4,
+                        axis: str = "model"):
+    """Jitted model-parallel bundle adjustment over `mesh`.
+
+    Expects a problem laid out by shard_ba_problem(n_shards=mesh axis size):
+    points/observations sharded on their leading dim, poses replicated.
+    The Schur reduction runs as psums over the axis (backend/ba.py).
+    """
+    shard = P(axis)
+    shard2 = P(axis, None)
+    rep = P()
+    in_specs = ba.BAProblem(
+        R=rep, t=rep, points=shard2,
+        obs_cam=shard, obs_pt=shard, obs_uv=shard2, obs_valid=shard,
+        cam_valid=rep, pt_valid=shard,
+    )
+    out_specs = (in_specs, {"costs": rep, "final_damping": rep})
+
+    def local(prob):
+        return ba.ba_iterations(prob, iters, damping, axis_name=axis)
+
+    @jax.jit
+    def run(prob: ba.BAProblem):
+        f = shard_map(local, mesh=mesh, in_specs=(in_specs,),
+                      out_specs=out_specs, check_vma=False)
+        return f(prob)
+
+    return run

@@ -1,0 +1,157 @@
+"""Backend: BA convergence on synthetic windows, pose-graph optimisation,
+keyframe store semantics, triangulation."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pislam_tpu.backend import ba, keyframes, pose_graph, triangulate
+from pislam_tpu.geometry import se3
+
+
+def synthetic_ba(nc=4, npts=60, nobs_per=None, seed=0, pose_noise=0.05,
+                 point_noise=0.1, obs_noise=0.0, pad_obs=64):
+    rng = np.random.default_rng(seed)
+    X = rng.uniform([-2, -2, 4], [2, 2, 10], (npts, 3)).astype(np.float32)
+    Rs, ts = [], []
+    for c in range(nc):
+        w = rng.normal(0, 0.05, 3).astype(np.float32)
+        R = np.asarray(se3.so3_exp(jnp.asarray(w)))
+        t = np.float32([0.3 * c, 0.02 * c, 0.0])
+        Rs.append(R); ts.append(t)
+    Rs, ts = np.stack(Rs), np.stack(ts)
+
+    cams, pts, uvs = [], [], []
+    for c in range(nc):
+        xc = X @ Rs[c].T + ts[c]
+        uv = xc[:, :2] / xc[:, 2:]
+        for p in range(npts):
+            cams.append(c); pts.append(p)
+            uvs.append(uv[p] + rng.normal(0, obs_noise, 2))
+    cams = np.int32(cams); pts = np.int32(pts)
+    uvs = np.float32(uvs)
+    nobs = len(cams)
+    total = ((nobs + pad_obs - 1) // pad_obs) * pad_obs
+    pad = total - nobs
+    obs_valid = np.concatenate([np.ones(nobs, bool), np.zeros(pad, bool)])
+    cams = np.concatenate([cams, np.zeros(pad, np.int32)])
+    pts = np.concatenate([pts, np.zeros(pad, np.int32)])
+    uvs = np.concatenate([uvs, np.zeros((pad, 2), np.float32)])
+
+    # perturb initial estimate (keep cam0 = gauge)
+    R0, t0 = Rs.copy(), ts.copy()
+    for c in range(1, nc):
+        dw = rng.normal(0, pose_noise, 3).astype(np.float32)
+        R0[c] = np.asarray(se3.so3_exp(jnp.asarray(dw))) @ Rs[c]
+        t0[c] = ts[c] + rng.normal(0, pose_noise, 3)
+    X0 = X + rng.normal(0, point_noise, X.shape).astype(np.float32)
+
+    prob = ba.BAProblem(
+        R=jnp.asarray(R0), t=jnp.asarray(t0), points=jnp.asarray(X0),
+        obs_cam=jnp.asarray(cams), obs_pt=jnp.asarray(pts),
+        obs_uv=jnp.asarray(uvs), obs_valid=jnp.asarray(obs_valid),
+        cam_valid=jnp.ones(nc, bool), pt_valid=jnp.ones(npts, bool),
+    )
+    return prob, (Rs, ts, X)
+
+
+def test_ba_converges_noise_free():
+    prob, (Rs, ts, X) = synthetic_ba()
+    c0, _ = ba.ba_cost(prob)
+    out, info = ba.bundle_adjust(prob, iters=12, damping=1e-3)
+    c1, _ = ba.ba_cost(out)
+    assert float(c1) < float(c0) * 1e-4, (float(c0), float(c1))
+    # camera 0 untouched (gauge)
+    np.testing.assert_allclose(np.asarray(out.R[0]), Rs[0], atol=1e-6)
+
+
+def test_ba_masked_obs_ignored():
+    prob, _ = synthetic_ba(seed=1)
+    # corrupt the PADDED (invalid) observations wildly: must not change result
+    bad_uv = prob.obs_uv.at[~prob.obs_valid].set(1e3)
+    prob2 = prob._replace(obs_uv=bad_uv)
+    o1, _ = ba.bundle_adjust(prob, iters=4)
+    o2, _ = ba.bundle_adjust(prob2, iters=4)
+    np.testing.assert_allclose(np.asarray(o1.points), np.asarray(o2.points),
+                               atol=1e-6)
+
+
+def test_pose_graph_closes_loop():
+    rng = np.random.default_rng(2)
+    n = 8
+    # ground truth: poses along a circle
+    Rs, ts = [np.eye(3, dtype=np.float32)], [np.zeros(3, np.float32)]
+    for i in range(1, n):
+        w = np.float32([0, 2 * np.pi / n, 0])
+        dR = np.asarray(se3.so3_exp(jnp.asarray(w)))
+        Rs.append(dR @ Rs[-1])
+        ts.append(ts[-1] + rng.normal(0, 0.0, 3).astype(np.float32)
+                  + np.float32([1, 0, 0]))
+    Rs, ts = np.stack(Rs), np.stack(ts)
+
+    ei, ej, eR, et = [], [], [], []
+    def add_edge(i, j):
+        Ri_inv, ti_inv = se3.inverse(jnp.asarray(Rs[i]), jnp.asarray(ts[i]))
+        Rij, tij = se3.compose(Ri_inv, ti_inv, jnp.asarray(Rs[j]), jnp.asarray(ts[j]))
+        ei.append(i); ej.append(j)
+        eR.append(np.asarray(Rij)); et.append(np.asarray(tij))
+    for i in range(n - 1):
+        add_edge(i, i + 1)
+    add_edge(n - 1, 0)  # loop closure
+
+    # noisy initialisation
+    R0, t0 = Rs.copy(), ts.copy()
+    for i in range(1, n):
+        dw = rng.normal(0, 0.08, 3).astype(np.float32)
+        R0[i] = np.asarray(se3.so3_exp(jnp.asarray(dw))) @ Rs[i]
+        t0[i] = ts[i] + rng.normal(0, 0.2, 3)
+
+    g = pose_graph.PoseGraph(
+        R=jnp.asarray(R0), t=jnp.asarray(t0),
+        edge_i=jnp.asarray(np.int32(ei)), edge_j=jnp.asarray(np.int32(ej)),
+        edge_R=jnp.asarray(np.stack(eR)), edge_t=jnp.asarray(np.stack(et)),
+        edge_valid=jnp.ones(len(ei), bool), node_valid=jnp.ones(n, bool),
+    )
+    c0 = float(jnp.sum(pose_graph.edge_residuals(g) ** 2))
+    g2, costs = pose_graph.optimize(g, iters=15, damping=1e-5)
+    c1 = float(costs[-1])
+    assert c1 < c0 * 1e-3, (c0, c1)
+    # recovered trajectory close to ground truth
+    np.testing.assert_allclose(np.asarray(g2.t), ts, atol=0.05)
+
+
+def test_triangulate_two_view_exact():
+    rng = np.random.default_rng(3)
+    X = rng.uniform([-1, -1, 3], [1, 1, 8], (50, 3)).astype(np.float32)
+    R1, t1 = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
+    w = np.float32([0.02, -0.4, 0.01])
+    R2 = np.asarray(se3.so3_exp(jnp.asarray(w)))
+    t2 = np.float32([0.5, 0.05, 0.02])
+    x1 = X
+    x2 = X @ R2.T + t2
+    p1 = x1[:, :2] / x1[:, 2:]
+    p2 = x2[:, :2] / x2[:, 2:]
+    Xr = np.asarray(triangulate.triangulate_two_view(
+        jnp.asarray(R1), jnp.asarray(t1), jnp.asarray(R2), jnp.asarray(t2),
+        jnp.asarray(p1), jnp.asarray(p2)))
+    np.testing.assert_allclose(Xr, X, atol=1e-3)
+
+
+def test_keyframe_store_ring():
+    store = keyframes.empty_store(capacity=3, max_kp=8, words=2)
+
+    class F:  # minimal Features stand-in
+        def __init__(self, seed):
+            rng = np.random.default_rng(seed)
+            self.codes = jnp.asarray(rng.integers(1, 2**31, 8, dtype=np.int64).astype(np.uint32))
+            self.valid = jnp.ones(8, bool)
+            self.descriptors = jnp.asarray(
+                rng.integers(0, 2**31, (8, 2), dtype=np.int64).astype(np.uint32))
+
+    eye = jnp.eye(3); z = jnp.zeros(3)
+    for fid in range(5):
+        slot = keyframes.next_slot(store)
+        store = keyframes.insert_keyframe(store, slot, eye, z, F(fid), fid)
+    ids = sorted(np.asarray(store.frame_id).tolist())
+    assert ids == [2, 3, 4]  # oldest evicted first
+    assert bool(np.asarray(store.valid).all())

@@ -1,0 +1,69 @@
+"""Multi-device tests on the 8-virtual-CPU mesh (conftest).
+
+Distributed BA must match the single-device result; data-parallel extraction
+must match per-frame extraction.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pislam_tpu.backend import ba
+from pislam_tpu.config import FrontendConfig, MeshConfig, PislamConfig, PyramidConfig
+from pislam_tpu.frontend import make_extract_fn
+from pislam_tpu.parallel import dist, mesh as meshmod
+
+from test_backend import synthetic_ba
+import oracles
+
+
+def test_mesh_shapes():
+    m = meshmod.make_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+    assert m.devices.shape == (4, 2)
+    m2 = meshmod.make_mesh(MeshConfig())  # defaults to all-data
+    assert m2.devices.shape == (8, 1)
+
+
+def test_distributed_ba_matches_single():
+    prob, _ = synthetic_ba(nc=4, npts=64, seed=5, pad_obs=64)
+    single, info_s = ba.bundle_adjust(prob, iters=6, damping=1e-3)
+
+    m = meshmod.make_mesh(MeshConfig(data_parallel=2, model_parallel=4))
+    sharded = dist.shard_ba_problem(prob, 4)
+    run = dist.make_distributed_ba(m, iters=6, damping=1e-3)
+    out, info_d = run(sharded)
+
+    # identical pose trajectories (same math, different reduction order ->
+    # tiny float differences)
+    np.testing.assert_allclose(np.asarray(out.R), np.asarray(single.R),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.t), np.asarray(single.t),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(info_d["costs"]),
+                               np.asarray(info_s["costs"]), rtol=1e-3)
+
+
+def test_data_parallel_extraction_matches_single():
+    pyr = PyramidConfig(base_width=96, base_height=80, num_levels=2)
+    fe = FrontendConfig(fast_threshold=20, harris_threshold=1 << 10,
+                        border=16, max_keypoints=128)
+    cfg = PislamConfig(pyramid=pyr, frontend=fe)
+
+    frames = np.stack([
+        np.zeros((pyr.padded_height, pyr.stride), np.uint8) for _ in range(8)
+    ])
+    for b in range(8):
+        for (w, h), r in zip(pyr.level_sizes, pyr.level_rows):
+            frames[b, r:r + h, :w] = oracles.make_test_image(h, w, seed=100 + b)
+
+    m = meshmod.make_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+    batch_extract = dist.make_batch_extract(cfg, m)
+    out = batch_extract(jnp.asarray(frames))
+
+    single = make_extract_fn(cfg)
+    for b in range(8):
+        ref = single(frames[b])
+        np.testing.assert_array_equal(np.asarray(out.codes[b]),
+                                      np.asarray(ref.codes))
+        np.testing.assert_array_equal(np.asarray(out.descriptors[b]),
+                                      np.asarray(ref.descriptors))
