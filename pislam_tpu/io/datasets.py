@@ -1,0 +1,96 @@
+"""Dataset loaders: image directories, TUM-RGBD, KITTI odometry.
+
+The reference's perf charts use 200 frames of New College Sample 3 upscaled
+to VGA (README.md:109-112) -- i.e. a plain directory of grayscale images;
+`image_dir` covers that. TUM-RGBD and KITTI loaders serve configs[2-4]
+(BASELINE.json). All return lazy frame sources (native prefetch stream when
+available) plus ground-truth trajectories when present on disk.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .native import FrameStream, read_png
+
+
+def image_dir(path: str, pattern: str = "*.png",
+              width: Optional[int] = None, height: Optional[int] = None,
+              capacity: int = 8):
+    """Sorted image-directory dataset (New College style). Returns a
+    FrameStream (native prefetch) sized from the first image."""
+    paths = sorted(glob.glob(os.path.join(path, pattern)))
+    if not paths:
+        raise FileNotFoundError(f"no {pattern} in {path}")
+    if width is None or height is None:
+        first = read_png(paths[0])
+        height, width = first.shape
+    return FrameStream(paths, width=width, height=height, capacity=capacity)
+
+
+def load_tum_trajectory(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """TUM groundtruth.txt: lines 't x y z qx qy qz qw'. Returns
+    (timestamps (N,), positions (N, 3))."""
+    ts, xyz = [], []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            v = line.split()
+            ts.append(float(v[0]))
+            xyz.append([float(v[1]), float(v[2]), float(v[3])])
+    return np.asarray(ts), np.asarray(xyz, np.float32)
+
+
+def tum_dataset(root: str, capacity: int = 8):
+    """TUM-RGBD layout: rgb.txt ('t path'), optional groundtruth.txt.
+
+    Returns (frame_paths, timestamps, gt_positions_or_None) where
+    gt positions are nearest-timestamp associated to the frames.
+    """
+    rgb_txt = os.path.join(root, "rgb.txt")
+    paths, ts = [], []
+    with open(rgb_txt) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            t, rel = line.split()[:2]
+            ts.append(float(t))
+            paths.append(os.path.join(root, rel))
+    ts = np.asarray(ts)
+    gt = None
+    gt_file = os.path.join(root, "groundtruth.txt")
+    if os.path.exists(gt_file):
+        gts, gxyz = load_tum_trajectory(gt_file)
+        idx = np.searchsorted(gts, ts)
+        idx = np.clip(idx, 0, len(gts) - 1)
+        gt = gxyz[idx]
+    return paths, ts, gt
+
+
+def load_kitti_poses(path: str) -> np.ndarray:
+    """KITTI poses file: 12 floats per line (3x4 row-major). Returns
+    (N, 3) camera positions (the translation column)."""
+    rows = np.loadtxt(path).reshape(-1, 3, 4)
+    return rows[:, :, 3].astype(np.float32)
+
+
+def kitti_dataset(root: str, sequence: str = "00", capacity: int = 8):
+    """KITTI odometry layout: sequences/SS/image_0/*.png, times.txt,
+    optional poses/SS.txt. Returns (paths, times, gt_positions_or_None)."""
+    seq_dir = os.path.join(root, "sequences", sequence)
+    paths = sorted(glob.glob(os.path.join(seq_dir, "image_0", "*.png")))
+    times_file = os.path.join(seq_dir, "times.txt")
+    times = (np.loadtxt(times_file)
+             if os.path.exists(times_file) else np.arange(len(paths), dtype=float))
+    gt = None
+    poses_file = os.path.join(root, "poses", f"{sequence}.txt")
+    if os.path.exists(poses_file):
+        gt = load_kitti_poses(poses_file)
+    return paths, times, gt

@@ -1,0 +1,139 @@
+"""Frame-to-frame visual odometry (BASELINE.json configs[2]).
+
+Pipeline per frame (all device-side, one jitted step):
+
+    pyramid <- build_pyramid(frame)               ops/pyramid.py
+    feats   <- extract(pyramid)                   frontend.py
+    matches <- hamming match vs previous frame    matching.py
+    (R, t)  <- RANSAC essential + cheirality      geometry/ransac.py
+    pose    <- pose o (R, t)^-1                   (camera trajectory)
+
+The estimated translation is up to scale per pair (monocular); the driver
+chains unit-scale steps (standard monocular VO convention -- scale is
+resolved downstream by the SLAM backend / ground-truth alignment in eval).
+
+The frontend stage can be swapped out (``features_fn``) -- tests inject a
+synthetic projector to exercise the full matching+RANSAC+chaining path with
+known ground truth.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import matching
+from ..config import PislamConfig
+from ..frontend import Features, make_extract_fn
+from ..geometry import ransac
+from ..ops import pyramid as pyr_ops
+from ..utils import codec
+
+
+class VOState(NamedTuple):
+    R: jax.Array  # (3, 3) world->cam of current frame
+    t: jax.Array  # (3,)
+    prev: Features
+    prev_pts: jax.Array  # (K, 2) normalised coords of prev features
+    key: jax.Array
+
+
+def normalise_points(feats: Features, fx, fy, cx, cy, level_rows, level_scales):
+    """Pixel keypoints (stacked-pyramid coords) -> normalised level-0 coords.
+
+    Keypoint y is a global pyramid row; subtract its level origin and scale
+    coords back to level 0 by the level's downscale factor before applying
+    the inverse intrinsics.
+    """
+    ys = feats.ys
+    xs = feats.xs
+    rows = jnp.asarray(level_rows)
+    lvl = jnp.sum(ys[:, None] >= rows[None, :], axis=1) - 1
+    y_local = ys - rows[lvl]
+    scale = jnp.asarray(level_scales, jnp.float32)[lvl]
+    u = xs.astype(jnp.float32) * scale
+    v = y_local.astype(jnp.float32) * scale
+    return jnp.stack([(u - cx) / fx, (v - cy) / fy], axis=1)
+
+
+class VisualOdometry:
+    """Monocular VO driver. Intrinsics in pixels at pyramid level 0."""
+
+    def __init__(self, cfg: PislamConfig, fx: float, fy: float,
+                 cx: float, cy: float, features_fn=None):
+        self.cfg = cfg
+        pc = cfg.pyramid
+        self.extract = features_fn or self._make_image_frontend()
+        self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
+        self.level_rows = pc.level_rows
+        # per-level scale back to level 0 = base_width / level_width
+        self.level_scales = tuple(
+            pc.base_width / w for (w, _h) in pc.level_sizes)
+        self._step = self._build_step()
+
+    def _make_image_frontend(self):
+        cfg = self.cfg
+        extract = make_extract_fn(cfg)
+        build = jax.jit(lambda f: pyr_ops.build_pyramid(f, cfg.pyramid))
+
+        def run(frame):
+            return extract(build(frame))
+
+        return run
+
+    def _build_step(self):
+        mc = self.cfg.matcher
+        vc = self.cfg.vo
+
+        @jax.jit
+        def step(state: VOState, feats: Features, pts):
+            idx2, dist = matching.match(
+                state.prev.descriptors, feats.descriptors,
+                state.prev.valid, feats.valid,
+                max_distance=mc.max_distance, ratio=mc.ratio,
+                cross_check=mc.cross_check)
+            ok = idx2 >= 0
+            p1 = state.prev_pts
+            p2 = pts[jnp.clip(idx2, 0)]
+            key, sub = jax.random.split(state.key)
+            out = ransac.ransac_essential(
+                sub, p1, p2, ok, iters=vc.ransac_iters,
+                inlier_threshold=vc.inlier_threshold)
+            good = out["num_inliers"] >= vc.min_inliers
+            # relative pose cam1->cam2 (unit translation); world->cam chains:
+            # T_w2 = T_12 o T_w1
+            tnorm = out["t"] / jnp.maximum(
+                jnp.linalg.norm(out["t"]), 1e-9)
+            Rn = jnp.where(good, out["R"] @ state.R, state.R)
+            tn = jnp.where(good, (out["R"] @ state.t[:, None])[:, 0] + tnorm,
+                           state.t)
+            new_state = VOState(R=Rn, t=tn, prev=feats, prev_pts=pts, key=key)
+            info = {"num_matches": jnp.sum(ok),
+                    "num_inliers": out["num_inliers"],
+                    "accepted": good}
+            return new_state, info
+
+        return step
+
+    def init(self, frame, seed: int = 0) -> VOState:
+        feats = self.extract(frame)
+        pts = normalise_points(feats, self.fx, self.fy, self.cx, self.cy,
+                               self.level_rows, self.level_scales)
+        return VOState(R=jnp.eye(3), t=jnp.zeros(3), prev=feats,
+                       prev_pts=pts, key=jax.random.PRNGKey(seed))
+
+    def process(self, state: VOState, frame):
+        feats = self.extract(frame)
+        pts = normalise_points(feats, self.fx, self.fy, self.cx, self.cy,
+                               self.level_rows, self.level_scales)
+        return self._step(state, feats, pts)
+
+    def camera_position(self, state: VOState) -> np.ndarray:
+        """World position of the camera: -R^T t."""
+        R = np.asarray(state.R)
+        t = np.asarray(state.t)
+        return -R.T @ t
