@@ -61,17 +61,20 @@ def _extract_impl(img, level_mask, cfg: PislamConfig) -> Features:
     score = harris.harris_score(img, fc.harris_threshold, mask=corner)
     score = jnp.where(level_mask, score, jnp.uint8(0))
     keep = nms.nms(score)
-    enc = nms.encode_grid(score, keep)
     if fc.log_bucket_size > 0:
+        enc = nms.encode_grid(score, keep)
         enc = nms.bucket_topk(enc, fc.border, fc.log_bucket_size, fc.bucket_limit)
-    codes, valid = nms.select_topk(enc, fc.max_keypoints)
+        codes, valid = nms.select_topk(enc, fc.max_keypoints)
+    else:
+        scored = jnp.where(keep, score, jnp.uint8(0))
+        codes, valid = nms.select_topk_scored(scored, fc.max_keypoints)
 
     xs = codec.decode_x(codes).astype(jnp.int32)
     ys = codec.decode_y(codes).astype(jnp.int32)
-    p = patches.gather_patches_s8(img, xs, ys, valid)
-    m10, m01 = orientation.centroids(p)
+    flat = patches.gather_patches_packed_s8(img, xs, ys, valid)
+    m10, m01 = orientation.centroids_packed(flat)
     angles = orientation.atan2_bins(m10, m01)
-    desc = brief.describe(p, angles, fc.words)
+    desc = brief.describe_packed(flat, angles, fc.words)
     desc = jnp.where(valid[:, None], desc, jnp.uint32(0))
     angles = jnp.where(valid, angles, jnp.uint8(0))
     return Features(codes=codes, valid=valid, angles=angles, descriptors=desc)

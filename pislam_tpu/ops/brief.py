@@ -80,6 +80,33 @@ def _diff_matrix() -> np.ndarray:
 GDIFF = _diff_matrix()
 
 
+def _bits_to_words(dsel, words: int):
+    k = dsel.shape[0]
+    bits = (dsel > 0).astype(jnp.uint32)
+    bits = bits[:, : words * 32].reshape(k, words, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(bits << shifts, axis=-1, dtype=jnp.uint32)
+
+
+def describe_packed(flat, angles, words: int = 8):
+    """(K, 1024) packed int8 windows + (K,) angle bins -> (K, words) u32.
+
+    Same computation as `describe` with GDIFF rows remapped to the packed
+    window layout (patches.packed_index_map)."""
+    from .patches import remap_weights_packed
+
+    g = jnp.asarray(remap_weights_packed(GDIFF))
+    k = flat.shape[0]
+    diff = jax.lax.dot_general(
+        flat, g, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).reshape(k, N_ROT, N_BITS)
+    sel = (angles.astype(jnp.int32)[:, None]
+           == jnp.arange(N_ROT, dtype=jnp.int32)[None, :])
+    dsel = jnp.sum(diff * sel[:, :, None].astype(diff.dtype), axis=1)
+    return _bits_to_words(dsel, words)
+
+
 def describe(patches, angles, words: int = 8):
     """(K, 31, 31) patches + (K,) uint8 angle bins -> (K, words) uint32.
 

@@ -92,6 +92,22 @@ def select_topk(enc_grid, k: int):
     return codes, codes != 0
 
 
+def select_topk_scored(scored, k: int):
+    """Fixed-capacity selection from a scored-survivor grid (u8, 0 = none).
+
+    Equivalent to select_topk(encode_grid(scored, scored > 0), k) but uses
+    the Pallas 4x exact candidate reduction off-CPU (pallas_kernels.py:
+    3x3 NMS leaves <= 1 survivor per 2x2 block, so a 2x2 code-max preserves
+    the survivor set and cuts top_k's N-linear cost 4x).
+    """
+    from . import pallas_kernels
+
+    if pallas_kernels.available(scored.shape):
+        reduced = pallas_kernels.reduce_codes_4x(scored)
+        return select_topk(reduced, k)
+    return select_topk(encode_grid(scored, scored > 0), k)
+
+
 def bucket_topk(enc_grid, border: int, log_bucket_size: int, bucket_limit: int):
     """Per-cell cap: keep top `bucket_limit` codes per 2^log_bucket_size cell.
 

@@ -52,6 +52,22 @@ def _moment_weights() -> np.ndarray:
 MOMENT_WEIGHTS = _moment_weights()
 
 
+def centroids_packed(flat):
+    """(K, 1024) packed int8 windows -> (K,) m10, (K,) m01 (exact).
+
+    Same math as `centroids` with the weight rows remapped to the packed
+    window layout (patches.packed_index_map); window bytes outside the
+    31x31 patch get zero weight.
+    """
+    from .patches import remap_weights_packed
+
+    w = jnp.asarray(remap_weights_packed(MOMENT_WEIGHTS))
+    m = jnp.dot(flat.astype(jnp.float32), w,
+                preferred_element_type=jnp.float32)
+    m = m.astype(jnp.int32)
+    return m[:, 0], m[:, 1]
+
+
 def centroids(patches):
     """(K, 31, 31) patches -> (K,) m10, (K,) m01 int32 (exact, Orb.h:81-308).
 

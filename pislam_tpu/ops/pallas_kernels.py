@@ -1,0 +1,211 @@
+"""Pallas TPU kernels for the gather/select hot spots of the frontend.
+
+Why these exist (measured on a v5e chip, demo pyramid, K=4096):
+
+* Any per-keypoint dynamic memory access (XLA gather, vmap(dynamic_slice),
+  per-keypoint DMA, dynamic VMEM vector load) costs ~1.2 us on TPU -- a
+  Mosaic/XLA lowering floor, not bandwidth. 4096 keypoints => ~5 ms, the
+  whole frame budget. The reference's per-feature loops (Orb.h:402-421)
+  therefore cannot be translated even as per-feature *kernels*.
+
+* The two primitives that ARE fast: XLA's row gather on >=2KB rows of
+  32-bit data (~16 ns/row) and dense VPU/MXU work. So every per-keypoint
+  stage is reformulated as: pack 4 image rows into one uint32 lane
+  (a free sublane-packing `pltpu.bitcast` -- int8's native (32,128) vreg
+  layout already interleaves 4 sublanes per 32-bit element), row-gather
+  whole packed rows per keypoint, then realign to the keypoint's (x, y)
+  phase with static lane rotates selected per keypoint by bit-decomposed
+  offset masks (7 rounds of roll+select instead of any dynamic slice).
+
+* Keypoint selection: jax.lax.top_k is N-linear (~1.9 ms at 1.4M).
+  3x3 NMS guarantees <=1 survivor per 2x2 block (adjacent survivors are
+  impossible, Fast.h:258-310 semantics), so the kernel below reduces the
+  scored grid 4x exactly before top_k: vertical pair-max via the same
+  bitcast row-packing, horizontal pair-max + compaction via an exact
+  one-hot f32 matmul on u16 halves (Precision.HIGHEST; bf16 passes would
+  round 16-bit halves).
+
+All outputs are bit-exact vs the pure-XLA fallbacks in nms.py/patches.py
+(asserted by tools/tpu_parity.py on hardware and by unit tests on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RADIUS = 15
+NR = 9          # u32 row-packs gathered per keypoint: 36 rows >= 32 + 3
+BLOCK = 64      # keypoints per realign grid step
+
+
+def available(img_shape) -> bool:
+    """Pallas fast path is used off-CPU for lane-aligned stacked pyramids."""
+    h, w = img_shape[-2], img_shape[-1]
+    if jax.default_backend() == "cpu":
+        return False
+    return h % 8 == 0 and w % 128 == 0 and w >= 256
+
+
+# ---------------------------------------------------------------------------
+# row packing: (H, W) u8 -> (H/4, W) u32, u32[r, c] = rows 4r..4r+3 at col c
+# ---------------------------------------------------------------------------
+
+def _pack_kernel(in_ref, out_ref):
+    out_ref[:] = pltpu.bitcast(in_ref[:], jnp.uint32)
+
+
+def pack_rows_u32(img):
+    """Free relayout: little-endian pack of 4 consecutive rows per lane."""
+    h, w = img.shape
+    assert h % 4 == 0
+    return pl.pallas_call(
+        _pack_kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h // 4, w), jnp.uint32),
+    )(img)
+
+
+# ---------------------------------------------------------------------------
+# per-keypoint window realign: (K, NR, W) packed rows -> (K, 8, 32) u32
+# = the 32x32 byte window with top-left (y-15, x-15), rows packed by 4
+# ---------------------------------------------------------------------------
+
+def _realign_kernel(psi_ref, phi_ref, rows_ref, out_ref, *, width):
+    v = rows_ref[:]          # (B, NR, W) u32
+    phi = phi_ref[:]         # (B, 1, 1) byte-column offset in [0, W)
+    psi = psi_ref[:]         # (B, 1, 1) row offset within the pack, [0, 4)
+
+    # lane realign: static rotates selected by the bits of phi
+    for b in (512, 256, 128):
+        if b < width:
+            rolled = pltpu.roll(v, width - b, axis=2)
+            v = jnp.where((phi & b) != 0, rolled, v)
+    v = v[:, :, :256]
+    for b in (64, 32, 16, 8, 4, 2, 1):
+        rolled = pltpu.roll(v, 256 - b, axis=2)
+        v = jnp.where((phi & b) != 0, rolled, v)
+    v = v[:, :, :32]
+    # row realign: shift psi bytes across the 4-row packs
+    for b in (1, 2):
+        vn = pltpu.roll(v, NR - 1, axis=1)
+        r = 8 * b
+        shifted = (v >> jnp.uint32(r)) | (vn << jnp.uint32(32 - r))
+        v = jnp.where((psi & b) != 0, shifted, v)
+    out_ref[:] = v[:, :8, :]
+
+
+def realign_windows(rows, psi, phi):
+    """rows (K, NR, W) u32; psi (K,) in [0,4); phi (K,) in [0, W)."""
+    k, nr, w = rows.shape
+    assert nr == NR and k % BLOCK == 0 and w >= 256
+    kern = functools.partial(_realign_kernel, width=w)
+    return pl.pallas_call(
+        kern,
+        grid=(k // BLOCK,),
+        in_specs=[
+            pl.BlockSpec((BLOCK, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK, NR, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BLOCK, 8, 32), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, 8, 32), jnp.uint32),
+    )(psi.reshape(k, 1, 1).astype(jnp.int32),
+      phi.reshape(k, 1, 1).astype(jnp.int32),
+      rows)
+
+
+def gather_windows_packed(img, xs, ys, valid):
+    """(H, W) u8 + (K,) coords -> (K, 1024) u8 packed 32x32 windows.
+
+    Packed flat layout: byte (r, c) of the window (rows y-15..y+16,
+    cols x-15..x+16) lands at index (r >> 2) * 128 + c * 4 + (r & 3).
+    Invalid keypoints are redirected to a safe interior coordinate.
+    """
+    h, w = img.shape
+    k = xs.shape[0]
+    imgp = pack_rows_u32(img)
+    sx = jnp.clip(jnp.where(valid, xs, RADIUS + 1), RADIUS, w - RADIUS - 2)
+    sy = jnp.clip(jnp.where(valid, ys, RADIUS + 1), RADIUS, h - RADIUS - 2)
+    y0 = sy - RADIUS
+    x0 = sx - RADIUS
+    r0 = y0 >> 2
+    psi = y0 & 3
+    ridx = r0[:, None] + jnp.arange(NR, dtype=jnp.int32)[None, :]
+    ridx = jnp.clip(ridx, 0, h // 4 - 1)
+    rows = jnp.take(imgp, ridx.reshape(-1), axis=0).reshape(k, NR, w)
+    p = realign_windows(rows, psi, x0)              # (K, 8, 32) u32
+    b8 = jax.lax.bitcast_convert_type(p, jnp.uint8)  # (K, 8, 32, 4)
+    return b8.reshape(k, 1024)
+
+
+# ---------------------------------------------------------------------------
+# exact 4x candidate reduction before top_k
+# ---------------------------------------------------------------------------
+
+def _vmerge_kernel(s_ref, out_ref, *, h4, width):
+    """Scored-survivor u8 grid -> 2 planes of vertically pair-merged,
+    order-mapped int32 keys (code ^ 0x80000000 viewed as int32)."""
+    v = pltpu.bitcast(s_ref[:], jnp.uint32)   # (H4, W): 4 rows per lane
+    x = jax.lax.broadcasted_iota(jnp.uint32, (h4, width), 1)
+    y4 = jax.lax.broadcasted_iota(jnp.uint32, (h4, width), 0) * 4
+
+    def enc(b, y):
+        code = jnp.where(b > 0, (b << 24) | (x << 12) | y, jnp.uint32(0))
+        return pltpu.bitcast(code ^ jnp.uint32(0x80000000), jnp.int32)
+
+    b0 = v & jnp.uint32(0xFF)
+    b1 = (v >> 8) & jnp.uint32(0xFF)
+    b2 = (v >> 16) & jnp.uint32(0xFF)
+    b3 = (v >> 24) & jnp.uint32(0xFF)
+    out_ref[0] = jnp.maximum(enc(b0, y4), enc(b1, y4 + 1))
+    out_ref[1] = jnp.maximum(enc(b2, y4 + 2), enc(b3, y4 + 3))
+
+
+@functools.lru_cache(maxsize=8)
+def _deint_matrix(w: int) -> np.ndarray:
+    # numpy, not jnp: a cached device constant would leak tracers under jit
+    d = np.zeros((w, w // 2), np.float32)
+    d[np.arange(0, w, 2), np.arange(w // 2)] = 1.0
+    return d
+
+
+def reduce_codes_4x(scored):
+    """(H, W) u8 scored NMS survivors -> (H/2, W/2) u32 codes.
+
+    Exact: 3x3 NMS leaves at most one survivor per 2x2 block, so the 2x2
+    max over packed codes preserves the survivor set (order is permuted,
+    which top_k does not care about). The horizontal pair-max + 2x lane
+    compaction runs as an exact one-hot f32 matmul on u16 halves.
+    """
+    h, w = scored.shape
+    assert h % 4 == 0 and w % 2 == 0
+    h4 = h // 4
+    kern = functools.partial(_vmerge_kernel, h4=h4, width=w)
+    m = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, h4, w), jnp.int32),
+    )(scored).reshape(2 * h4, w)
+    hm = jnp.maximum(m, jnp.roll(m, -1, axis=1))     # even lanes valid
+    hmu = jax.lax.bitcast_convert_type(hm, jnp.uint32)
+    deint = jnp.asarray(_deint_matrix(w))
+    hi = jnp.dot((hmu >> 16).astype(jnp.float32), deint,
+                 preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    lo = jnp.dot((hmu & jnp.uint32(0xFFFF)).astype(jnp.float32), deint,
+                 preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    keys = (hi.astype(jnp.uint32) << 16) | lo.astype(jnp.uint32)
+    return keys ^ jnp.uint32(0x80000000)             # back to raw codes

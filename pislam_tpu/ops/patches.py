@@ -64,3 +64,55 @@ def gather_patches(img, xs, ys, valid):
     """Raw-pixel variant: (K, 31, 31) uint8. Test/reference helper."""
     p = gather_patches_s8(img, xs, ys, valid)
     return (p.astype(jnp.int16) + 128).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# packed flat windows: the TPU fast path's native patch layout
+# ---------------------------------------------------------------------------
+# A 32x32 window (rows y-15..y+16, cols x-15..x+16) stored as 1024 bytes
+# with byte (r, c) at index (r >> 2) * 128 + c * 4 + (r & 3) -- the layout
+# produced for free by Pallas' sublane-packing bitcast (pallas_kernels.py).
+# Consumers (orientation/brief) use weight matrices remapped to this layout,
+# so no transpose/unpack ever materialises.
+
+def packed_index_map() -> "np.ndarray":
+    """(31, 31) -> flat packed index for weight-matrix remapping."""
+    import numpy as np
+    r = np.arange(31)[:, None]
+    c = np.arange(31)[None, :]
+    return (r >> 2) * 128 + c * 4 + (r & 3)
+
+
+def remap_weights_packed(w961):
+    """(961, n) weight matrix over r*31+c -> (1024, n) over packed layout."""
+    import numpy as np
+    w961 = np.asarray(w961)
+    out = np.zeros((1024,) + w961.shape[1:], w961.dtype)
+    out[packed_index_map().reshape(-1)] = w961
+    return out
+
+
+def gather_patches_packed_s8(img, xs, ys, valid):
+    """(K, 1024) int8 packed windows, offset by -128 (value = I - 128).
+
+    Off-CPU this is the Pallas rowgather+realign path (no per-keypoint
+    dynamic slicing -- see pallas_kernels.py). The CPU fallback derives the
+    identical bytes from vmapped dynamic slices.
+    """
+    from . import pallas_kernels
+
+    if pallas_kernels.available(img.shape):
+        flat = pallas_kernels.gather_windows_packed(img, xs, ys, valid)
+    else:
+        h, w = img.shape
+        safe_x = jnp.clip(jnp.where(valid, xs, RADIUS + 1),
+                          RADIUS, w - RADIUS - 2).astype(jnp.int32)
+        safe_y = jnp.clip(jnp.where(valid, ys, RADIUS + 1),
+                          RADIUS, h - RADIUS - 2).astype(jnp.int32)
+        win = jax.vmap(
+            lambda y, x: jax.lax.dynamic_slice(
+                img, (y - RADIUS, x - RADIUS), (32, 32))
+        )(safe_y, safe_x)                                   # (K, 32, 32) u8
+        # (K, 8, 4, 32) -> packed (a*128 + c*4 + b)
+        flat = win.reshape(-1, 8, 4, 32).transpose(0, 1, 3, 2).reshape(-1, 1024)
+    return (flat ^ jnp.uint8(0x80)).astype(jnp.int8)

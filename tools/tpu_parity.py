@@ -1,0 +1,95 @@
+"""Hardware parity check: Pallas fast path vs pure-XLA fallback, bit-exact.
+
+Run on the real TPU (default env). Asserts that the full frontend with the
+Pallas kernels produces byte-identical Features to the XLA fallback path on
+the reference demo pyramid, then prints in-jit chain timings for both.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pislam_jax_cache")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(__file__))
+from tpu_timeit import timeit_chain  # noqa: E402
+
+from pislam_tpu.config import PislamConfig  # noqa: E402
+from pislam_tpu.ops import (brief, fast, harris, nms, orientation,  # noqa: E402
+                            patches)
+from pislam_tpu.utils import codec  # noqa: E402
+
+
+def load_stack(cfg):
+    from PIL import Image
+    pc = cfg.pyramid
+    stack = np.zeros((pc.padded_height, pc.stride), np.uint8)
+    img = np.asarray(Image.open("/root/reference/demo/input.png").convert("L"))
+    stack[: img.shape[0], : img.shape[1]] = img
+    return stack
+
+
+def main():
+    cfg = PislamConfig()
+    fc, pc = cfg.frontend, cfg.pyramid
+    stack = jnp.asarray(load_stack(cfg))
+    mask = jnp.asarray(nms.make_level_mask(
+        pc.level_sizes, pc.level_rows, pc.padded_height, pc.stride,
+        fc.border))
+
+    def upstream(img):
+        corner = fast.fast_detect(img, fc.fast_threshold)
+        score = harris.harris_score(img, fc.harris_threshold, mask=corner)
+        score = jnp.where(mask, score, jnp.uint8(0))
+        keep = nms.nms(score)
+        return jnp.where(keep, score, jnp.uint8(0))
+
+    def tail(img, codes, valid, packed: bool):
+        xs = codec.decode_x(codes).astype(jnp.int32)
+        ys = codec.decode_y(codes).astype(jnp.int32)
+        if packed:
+            flat = patches.gather_patches_packed_s8(img, xs, ys, valid)
+            m10, m01 = orientation.centroids_packed(flat)
+            ang = orientation.atan2_bins(m10, m01)
+            desc = brief.describe_packed(flat, ang, fc.words)
+        else:
+            p = patches.gather_patches_s8(img, xs, ys, valid)
+            m10, m01 = orientation.centroids(p)
+            ang = orientation.atan2_bins(m10, m01)
+            desc = brief.describe(p, ang, fc.words)
+        return jnp.where(valid[:, None], desc, jnp.uint32(0))
+
+    def full_fast(img):
+        scored = upstream(img)
+        codes, valid = nms.select_topk_scored(scored, fc.max_keypoints)
+        return codes, tail(img, codes, valid, packed=True)
+
+    def full_xla(img):
+        scored = upstream(img)
+        enc = nms.encode_grid(scored, scored > 0)
+        codes, valid = nms.select_topk(enc, fc.max_keypoints)
+        return codes, tail(img, codes, valid, packed=False)
+
+    cf, df = jax.jit(full_fast)(stack)
+    cx, dx = jax.jit(full_xla)(stack)
+    cf, df, cx, dx = map(np.asarray, (cf, df, cx, dx))
+    assert np.array_equal(cf, cx), "keypoint codes diverge"
+    assert np.array_equal(df, dx), f"descriptors diverge ({(df != dx).sum()} words)"
+    print(f"parity OK: {int((cf != 0).sum())} features, descriptors bit-exact")
+
+    u32 = lambda o: o[0][0] ^ o[1][0, 0]  # depend on codes AND descriptors
+    t_fast = timeit_chain(full_fast, stack, u32)
+    t_xla = timeit_chain(full_xla, stack, u32)
+    print(f"pallas path: {t_fast*1e3:.3f} ms/frame ({1/t_fast:.0f} fps)")
+    print(f"xla path   : {t_xla*1e3:.3f} ms/frame ({1/t_xla:.0f} fps)")
+
+
+if __name__ == "__main__":
+    main()
