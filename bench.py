@@ -86,20 +86,20 @@ def main():
             return feats.codes, feats.valid
         return f
 
-    n_lo, n_hi = 2, 12
+    n_lo, n_hi = 2, 22
     f_lo, f_hi = make_chain(n_lo), make_chain(n_hi)
 
     _, valid1 = make_chain(1)(stack)  # unperturbed frame for the count
     nfeat = int(np.asarray(valid1).sum())
 
     def run(f):
-        best = 1e9
-        for _ in range(5):
+        times = []
+        for _ in range(7):
             t0 = time.perf_counter()
             c, _ = f(stack)
             np.asarray(c[0])  # true sync (one tunnel round-trip)
-            best = min(best, time.perf_counter() - t0)
-        return best
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
 
     run(f_lo)  # warm both executables before timing
     run(f_hi)

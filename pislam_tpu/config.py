@@ -98,7 +98,11 @@ class FrontendConfig:
     log_bucket_size: int = 0  # 0 disables spatial bucketing (demo default)
     bucket_limit: int = 5
     words: int = 8
-    max_keypoints: int = 4096
+    # Fixed keypoint capacity. 2048 covers the reference's whole realistic
+    # operating envelope (~1000-1900 features at its demo thresholds,
+    # README.md:99-101 "comfortably handle up to 2000"); raise for
+    # low-threshold configs. Per-frame cost scales with this capacity.
+    max_keypoints: int = 2048
 
     def __post_init__(self):
         assert self.border >= 16, "border must cover FAST(3)+Harris(4)+ORB(15)"

@@ -72,9 +72,7 @@ def _extract_impl(img, level_mask, cfg: PislamConfig) -> Features:
     xs = codec.decode_x(codes).astype(jnp.int32)
     ys = codec.decode_y(codes).astype(jnp.int32)
     flat = patches.gather_patches_packed_s8(img, xs, ys, valid)
-    m10, m01 = orientation.centroids_packed(flat)
-    angles = orientation.atan2_bins(m10, m01)
-    desc = brief.describe_packed(flat, angles, fc.words)
+    angles, desc = brief.orb_compute_packed(flat, fc.words)
     desc = jnp.where(valid[:, None], desc, jnp.uint32(0))
     angles = jnp.where(valid, angles, jnp.uint8(0))
     return Features(codes=codes, valid=valid, angles=angles, descriptors=desc)

@@ -107,6 +107,39 @@ def describe_packed(flat, angles, words: int = 8):
     return _bits_to_words(dsel, words)
 
 
+def orb_compute_packed(flat, words: int = 8):
+    """Fused orientation + descriptors from packed windows.
+
+    (K, 1024) packed int8 windows -> ((K,) uint8 angle bins, (K, words) u32).
+
+    One MXU matmul computes the p1-p0 differences for all 30 rotations AND
+    the image moments: the centroid weight columns (orientation.py) have
+    entries in [-15, 15], so they ride along as two extra int8 columns of
+    the BRIEF difference matrix (saves a separate skinny moments matmul).
+    Bit-exact vs centroids_packed + atan2_bins + describe_packed.
+    """
+    from .patches import remap_weights_packed
+    from .orientation import MOMENT_WEIGHTS, atan2_bins
+
+    g = remap_weights_packed(GDIFF)                     # (1024, 7680) i8
+    mw = remap_weights_packed(
+        MOMENT_WEIGHTS.astype(np.int8))                 # (1024, 2) i8
+    gm = jnp.asarray(np.concatenate([g, mw], axis=1))   # (1024, 7682)
+
+    k = flat.shape[0]
+    out = jax.lax.dot_general(
+        flat, gm, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    m10 = out[:, N_ROT * N_BITS]
+    m01 = out[:, N_ROT * N_BITS + 1]
+    angles = atan2_bins(m10, m01)
+    diff = out[:, : N_ROT * N_BITS].reshape(k, N_ROT, N_BITS)
+    sel = (angles.astype(jnp.int32)[:, None]
+           == jnp.arange(N_ROT, dtype=jnp.int32)[None, :])
+    dsel = jnp.sum(diff * sel[:, :, None].astype(diff.dtype), axis=1)
+    return angles, _bits_to_words(dsel, words)
+
+
 def describe(patches, angles, words: int = 8):
     """(K, 31, 31) patches + (K,) uint8 angle bins -> (K, words) uint32.
 
