@@ -40,7 +40,7 @@ def main(argv=None):
                     help="input is a single frame; build the pyramid on-device")
     ap.add_argument("--threshold", type=int, default=20)
     ap.add_argument("--harris-threshold", type=int, default=1 << 15)
-    ap.add_argument("--max-keypoints", type=int, default=4096)
+    ap.add_argument("--max-keypoints", type=int, default=2048)
     args = ap.parse_args(argv)
 
     import jax

@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 RADIUS = 15
 NR = 9          # u32 row-packs gathered per keypoint: 36 rows >= 32 + 3
-BLOCK = 64      # keypoints per realign grid step
+BLOCK = 128     # keypoints per realign grid step
 
 
 def available(img_shape) -> bool:
@@ -53,42 +53,50 @@ def available(img_shape) -> bool:
 
 
 # ---------------------------------------------------------------------------
-# row packing: (H, W) u8 -> (H/4, W) u32, u32[r, c] = rows 4r..4r+3 at col c
+# row packing into overlapping strips:
+# (H, W) u8 -> (NS, H/4, 256) u32, strip s covering byte-columns
+# [128s, 128s + 256); u32[s, r, c] packs rows 4r..4r+3 at column 128s + c.
+# The 128-column stride means any 32-wide window lives whole in some strip
+# with an in-strip offset < 225, so realignment needs only 8 narrow rotate
+# rounds instead of rolls across the full image width.
 # ---------------------------------------------------------------------------
 
-def _pack_kernel(in_ref, out_ref):
-    out_ref[:] = pltpu.bitcast(in_ref[:], jnp.uint32)
+def num_strips(w: int) -> int:
+    return w // 128 - 1
 
 
-def pack_rows_u32(img):
-    """Free relayout: little-endian pack of 4 consecutive rows per lane."""
+def _pack_strips_kernel(in_ref, out_ref, *, ns):
+    v = pltpu.bitcast(in_ref[:], jnp.uint32)   # (H/4, W): 4 rows per lane
+    for s in range(ns):
+        out_ref[s] = v[:, 128 * s: 128 * s + 256]
+
+
+def pack_row_strips(img):
+    """Little-endian 4-row pack + overlapping 256-wide strip slicing."""
     h, w = img.shape
-    assert h % 4 == 0
+    assert h % 4 == 0 and w % 128 == 0 and w >= 256
+    ns = num_strips(w)
+    kern = functools.partial(_pack_strips_kernel, ns=ns)
     return pl.pallas_call(
-        _pack_kernel,
+        kern,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h // 4, w), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((ns, h // 4, 256), jnp.uint32),
     )(img)
 
 
 # ---------------------------------------------------------------------------
-# per-keypoint window realign: (K, NR, W) packed rows -> (K, 8, 32) u32
-# = the 32x32 byte window with top-left (y-15, x-15), rows packed by 4
+# per-keypoint window realign: (K, NR, 256) strip rows -> (K, 8, 32) u32
+# = the 32x32 byte window, rows packed by 4
 # ---------------------------------------------------------------------------
 
-def _realign_kernel(psi_ref, phi_ref, rows_ref, out_ref, *, width):
-    v = rows_ref[:]          # (B, NR, W) u32
-    phi = phi_ref[:]         # (B, 1, 1) byte-column offset in [0, W)
+def _realign_kernel(psi_ref, phi_ref, rows_ref, out_ref):
+    v = rows_ref[:]          # (B, NR, 256) u32
+    phi = phi_ref[:]         # (B, 1, 1) in-strip byte-column offset, [0, 225)
     psi = psi_ref[:]         # (B, 1, 1) row offset within the pack, [0, 4)
 
     # lane realign: static rotates selected by the bits of phi
-    for b in (512, 256, 128):
-        if b < width:
-            rolled = pltpu.roll(v, width - b, axis=2)
-            v = jnp.where((phi & b) != 0, rolled, v)
-    v = v[:, :, :256]
-    for b in (64, 32, 16, 8, 4, 2, 1):
+    for b in (128, 64, 32, 16, 8, 4, 2, 1):
         rolled = pltpu.roll(v, 256 - b, axis=2)
         v = jnp.where((phi & b) != 0, rolled, v)
     v = v[:, :, :32]
@@ -102,19 +110,18 @@ def _realign_kernel(psi_ref, phi_ref, rows_ref, out_ref, *, width):
 
 
 def realign_windows(rows, psi, phi):
-    """rows (K, NR, W) u32; psi (K,) in [0,4); phi (K,) in [0, W)."""
+    """rows (K, NR, 256) u32; psi (K,) in [0,4); phi (K,) in [0, 225)."""
     k, nr, w = rows.shape
-    assert nr == NR and k % BLOCK == 0 and w >= 256
-    kern = functools.partial(_realign_kernel, width=w)
+    assert nr == NR and k % BLOCK == 0 and w == 256
     return pl.pallas_call(
-        kern,
+        _realign_kernel,
         grid=(k // BLOCK,),
         in_specs=[
             pl.BlockSpec((BLOCK, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BLOCK, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK, NR, w), lambda i: (i, 0, 0),
+            pl.BlockSpec((BLOCK, NR, 256), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((BLOCK, 8, 32), lambda i: (i, 0, 0),
@@ -134,17 +141,24 @@ def gather_windows_packed(img, xs, ys, valid):
     """
     h, w = img.shape
     k = xs.shape[0]
-    imgp = pack_rows_u32(img)
+    h4 = h // 4
+    ns = num_strips(w)
+    strips = pack_row_strips(img).reshape(ns * h4, 256)
     sx = jnp.clip(jnp.where(valid, xs, RADIUS + 1), RADIUS, w - RADIUS - 2)
     sy = jnp.clip(jnp.where(valid, ys, RADIUS + 1), RADIUS, h - RADIUS - 2)
     y0 = sy - RADIUS
     x0 = sx - RADIUS
+    strip = jnp.clip(x0 >> 7, 0, ns - 1)
+    phi = x0 - 128 * strip
     r0 = y0 >> 2
     psi = y0 & 3
-    ridx = r0[:, None] + jnp.arange(NR, dtype=jnp.int32)[None, :]
-    ridx = jnp.clip(ridx, 0, h // 4 - 1)
-    rows = jnp.take(imgp, ridx.reshape(-1), axis=0).reshape(k, NR, w)
-    p = realign_windows(rows, psi, x0)              # (K, 8, 32) u32
+    ridx = (strip[:, None] * h4 + r0[:, None]
+            + jnp.arange(NR, dtype=jnp.int32)[None, :])
+    # clamp to the strip: only ever clips rows the realign never reads
+    # (valid keypoints have y <= h - 17, see tests/tools parity checks)
+    ridx = jnp.minimum(ridx, (strip[:, None] + 1) * h4 - 1)
+    rows = jnp.take(strips, ridx.reshape(-1), axis=0).reshape(k, NR, 256)
+    p = realign_windows(rows, psi, phi)              # (K, 8, 32) u32
     b8 = jax.lax.bitcast_convert_type(p, jnp.uint8)  # (K, 8, 32, 4)
     return b8.reshape(k, 1024)
 
