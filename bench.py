@@ -78,10 +78,12 @@ def main():
             for _ in range(n):
                 feats = _extract_impl(img, mask, cfg)
                 # non-foldable dependency on EVERY output so XLA can neither
-                # CSE the iterations nor dead-code intermediate stages
-                probe = (feats.codes[0]
-                         ^ feats.descriptors[0, 0]
-                         ^ feats.angles[0].astype(jnp.uint32))
+                # CSE the iterations nor dead-code intermediate stages; the
+                # xor-reduce forces every descriptor row (a single-element
+                # probe would let XLA slice the BRIEF matmul to one row)
+                probe = jax.lax.reduce(
+                    feats.descriptors, np.uint32(0),
+                    jax.lax.bitwise_xor, (0, 1)) ^ feats.codes[0]
                 img = img + (probe & 1).astype(jnp.uint8)
             return feats.codes, feats.valid
         return f

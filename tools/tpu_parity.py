@@ -84,7 +84,10 @@ def main():
     assert np.array_equal(df, dx), f"descriptors diverge ({(df != dx).sum()} words)"
     print(f"parity OK: {int((cf != 0).sum())} features, descriptors bit-exact")
 
-    u32 = lambda o: o[0][0] ^ o[1][0, 0]  # depend on codes AND descriptors
+    # xor-reduce over ALL descriptor words: a single-element probe would let
+    # XLA slice the BRIEF matmul down to one row in intermediate iterations
+    u32 = lambda o: o[0][0] ^ jax.lax.reduce(
+        o[1], np.uint32(0), jax.lax.bitwise_xor, (0, 1))
     t_fast = timeit_chain(full_fast, stack, u32)
     t_xla = timeit_chain(full_xla, stack, u32)
     print(f"pallas path: {t_fast*1e3:.3f} ms/frame ({1/t_fast:.0f} fps)")
