@@ -141,6 +141,13 @@ def gather_windows_packed(img, xs, ys, valid):
     """
     h, w = img.shape
     k = xs.shape[0]
+    pad = (-k) % BLOCK
+    if pad:  # realign grid works in BLOCK-sized steps; pad and re-slice
+        zi = jnp.zeros(pad, xs.dtype)
+        out = gather_windows_packed(
+            img, jnp.concatenate([xs, zi]), jnp.concatenate([ys, zi]),
+            jnp.concatenate([valid, jnp.zeros(pad, bool)]))
+        return out[:k]
     h4 = h // 4
     ns = num_strips(w)
     strips = pack_row_strips(img).reshape(ns * h4, 256)

@@ -1,0 +1,81 @@
+"""Pallas TPU kernels checked on CPU via the Mosaic interpreter.
+
+These exercise the actual kernel code (pallas_kernels.py) that the TPU fast
+path runs -- bitcast row packing, strip slicing, rotate-based realignment,
+and the exact 4x candidate reduction -- against the plain fallbacks, without
+needing hardware. tools/tpu_parity.py repeats the same assertions compiled
+on a real chip.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from pislam_tpu.ops import nms, pallas_kernels as pk
+from pislam_tpu.utils import codec
+
+
+def _img(h, w, seed=0):
+    return np.random.default_rng(seed).integers(0, 256, (h, w), np.uint8)
+
+
+def test_gather_windows_packed_interpret():
+    h, w, k = 64, 384, 96  # k deliberately not a multiple of BLOCK
+    rng = np.random.default_rng(1)
+    img = _img(h, w, 1)
+    xs = rng.integers(16, w - 16, k).astype(np.int32)
+    ys = rng.integers(16, h - 16, k).astype(np.int32)
+    valid = rng.random(k) < 0.9
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(pk.gather_windows_packed(
+            jnp.asarray(img), jnp.asarray(xs), jnp.asarray(ys),
+            jnp.asarray(valid)))
+    r = np.arange(31)[:, None]
+    c = np.arange(31)[None, :]
+    packed_idx = ((r >> 2) * 128 + c * 4 + (r & 3)).reshape(-1)
+    for i in np.flatnonzero(valid):
+        win = img[ys[i] - 15: ys[i] + 17, xs[i] - 15: xs[i] + 17]
+        assert np.array_equal(out[i][packed_idx].reshape(31, 31), win[:31, :31])
+
+
+def test_gather_windows_bottom_edge_rows():
+    """Keypoints at the maximum legal y (h - 17) exercise the strip-row clamp."""
+    h, w = 64, 384
+    img = _img(h, w, 2)
+    ys = np.array([h - 17, h - 18, h - 19, h - 20], np.int32)
+    xs = np.array([40, 150, 260, 350], np.int32)
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(pk.gather_windows_packed(
+            jnp.asarray(img), jnp.asarray(xs), jnp.asarray(ys),
+            jnp.ones(4, bool)))
+    r = np.arange(31)[:, None]
+    c = np.arange(31)[None, :]
+    packed_idx = ((r >> 2) * 128 + c * 4 + (r & 3)).reshape(-1)
+    for i in range(4):
+        win = img[ys[i] - 15: ys[i] + 17, xs[i] - 15: xs[i] + 17]
+        assert np.array_equal(out[i][packed_idx].reshape(31, 31), win[:31, :31])
+
+
+def test_reduce_codes_4x_interpret():
+    h, w = 64, 256
+    rng = np.random.default_rng(3)
+    # random sparse survivor grid with the NMS <=1-per-2x2 property
+    scored = np.zeros((h, w), np.uint8)
+    cy = rng.integers(1, h // 2 - 1, 120) * 2
+    cx = rng.integers(1, w // 2 - 1, 120) * 2
+    scored[cy, cx] = rng.integers(1, 256, 120).astype(np.uint8)
+    with pltpu.force_tpu_interpret_mode():
+        red = np.asarray(pk.reduce_codes_4x(jnp.asarray(scored)))
+    enc = np.asarray(nms.encode_grid(jnp.asarray(scored),
+                                     jnp.asarray(scored > 0)))
+    assert red.shape == (h // 2, w // 2)
+    got = np.sort(red[red != 0])
+    expect = np.sort(enc[enc != 0])
+    assert np.array_equal(got, expect)
+    # decoded coordinates must round-trip
+    for code in got[:16]:
+        x = int(codec.decode_x(jnp.uint32(code)))
+        y = int(codec.decode_y(jnp.uint32(code)))
+        s = int(codec.decode_score(jnp.uint32(code)))
+        assert scored[y, x] == s
