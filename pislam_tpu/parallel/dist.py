@@ -48,6 +48,69 @@ def make_batch_extract(cfg: PislamConfig, mesh: Mesh):
     return run
 
 
+def make_sharded_match(mesh: Mesh, axis: str = "model",
+                       max_distance: int = 64, ratio: float = 0.8,
+                       cross_check: bool = True):
+    """Cross-shard Hamming matching: query descriptors replicated, database
+    descriptors sharded on `axis` (e.g. a landmark map split across chips,
+    SURVEY.md section 5 "ICI collectives for Hamming-matching shards").
+
+    Each device matmuls its database shard (matching.hamming_matrix on the
+    MXU), then the per-row (best, second, index) candidates are merged with
+    one all_gather over the axis -- identical results to single-device
+    matching.match, bit for bit.
+
+    Returns run(descA, descB_sharded, validA, validB_sharded) -> (idx, dist)
+    (matching.match argument order) with global database indices in shard
+    order.
+    """
+    from .. import matching as m
+
+    n = mesh.shape[axis]
+
+    def local(descA, descB_s, validA, validB_s):
+        k1 = descA.shape[0]
+        k2s = descB_s.shape[0]
+        dist = m.hamming_matrix(descA, descB_s, validA, validB_s)
+        bidx, best, second = m._best_two(dist)
+        shard = jax.lax.axis_index(axis)
+        gidx = bidx + shard * k2s
+
+        all_best = jax.lax.all_gather(best, axis)      # (n, K1)
+        all_second = jax.lax.all_gather(second, axis)  # (n, K1)
+        all_idx = jax.lax.all_gather(gidx, axis)       # (n, K1)
+
+        w = jnp.argmin(all_best, axis=0)               # winning shard per row
+        rows = jnp.arange(k1)
+        best_g = all_best[w, rows]
+        idx_g = all_idx[w, rows]
+        # second best of the union = min over (all seconds, losing bests)
+        masked = all_best.at[w, rows].set(m.MAX_DIST)
+        second_g = jnp.minimum(jnp.min(all_second, axis=0),
+                               jnp.min(masked, axis=0))
+
+        ok = best_g <= max_distance
+        ok &= best_g.astype(jnp.float32) < ratio * second_g.astype(jnp.float32)
+        if cross_check:
+            rbest = jnp.argmin(dist, axis=0)           # per local column
+            all_rbest = jax.lax.all_gather(rbest, axis).reshape(n * k2s)
+            ok &= all_rbest[idx_g] == rows
+        ok &= validA
+        return (jnp.where(ok, idx_g, -1),
+                jnp.where(ok, best_g, m.MAX_DIST))
+
+    rep, sh = P(), P(axis)
+
+    @jax.jit
+    def run(descA, descB, validA, validB):
+        f = shard_map(local, mesh=mesh,
+                      in_specs=(rep, P(axis, None), rep, sh),
+                      out_specs=(rep, rep), check_vma=False)
+        return f(descA, descB, validA, validB)
+
+    return run
+
+
 def shard_ba_problem(p: ba.BAProblem, n_shards: int) -> ba.BAProblem:
     """Re-layout a BA problem for model-parallel solving.
 

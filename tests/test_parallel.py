@@ -67,3 +67,31 @@ def test_data_parallel_extraction_matches_single():
                                       np.asarray(ref.codes))
         np.testing.assert_array_equal(np.asarray(out.descriptors[b]),
                                       np.asarray(ref.descriptors))
+
+
+def test_sharded_match_matches_single():
+    from pislam_tpu import matching
+
+    rng = np.random.default_rng(11)
+    k1, k2 = 192, 512  # k2 sharded 4 ways
+    base = rng.integers(0, 2**31, (k2, 8), dtype=np.int64).astype(np.uint32)
+    # queries: noisy copies of random database rows (realistic near-matches)
+    pick = rng.integers(0, k2, k1)
+    noise = (rng.random((k1, 8, 32)) < 0.03).astype(np.uint32)
+    noise = (noise << np.arange(32, dtype=np.uint32)).sum(-1).astype(np.uint32)
+    qa = base[pick] ^ noise
+    va = rng.random(k1) < 0.9
+    vb = rng.random(k2) < 0.9
+
+    args = (jnp.asarray(qa), jnp.asarray(base),
+            jnp.asarray(va), jnp.asarray(vb))
+    idx_s, dist_s = matching.match(*args, max_distance=64, ratio=0.8,
+                                   cross_check=True)
+
+    m = meshmod.make_mesh(MeshConfig(data_parallel=2, model_parallel=4))
+    run = dist.make_sharded_match(m, max_distance=64, ratio=0.8,
+                                  cross_check=True)
+    idx_d, dist_d = run(*args)
+
+    assert np.array_equal(np.asarray(idx_s), np.asarray(idx_d))
+    assert np.array_equal(np.asarray(dist_s), np.asarray(dist_d))
