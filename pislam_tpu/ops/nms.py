@@ -104,6 +104,13 @@ def select_topk_scored(scored, k: int):
 
     if pallas_kernels.available(scored.shape):
         reduced = pallas_kernels.reduce_codes_4x(scored)
+        if k & (k - 1) == 0 and k >= 256:
+            keys = jax.lax.bitcast_convert_type(
+                reduced.reshape(-1) ^ jnp.uint32(0x80000000), jnp.int32)
+            top = pallas_kernels.topk_keys(keys, k)
+            codes = (jax.lax.bitcast_convert_type(top, jnp.uint32)
+                     ^ jnp.uint32(0x80000000))
+            return codes, codes != 0
         return select_topk(reduced, k)
     return select_topk(encode_grid(scored, scored > 0), k)
 

@@ -79,3 +79,15 @@ def test_reduce_codes_4x_interpret():
         y = int(codec.decode_y(jnp.uint32(code)))
         s = int(codec.decode_score(jnp.uint32(code)))
         assert scored[y, x] == s
+
+
+def test_bitonic_topk_interpret():
+    rng = np.random.default_rng(5)
+    for n, k in ((50_000, 512), (4096, 256), (300, 256)):
+        keys = np.full(n, pk.MIN_KEY, np.int32)
+        nz = rng.choice(n, min(n // 2, 1500), replace=False)
+        keys[nz] = rng.integers(-2**31 + 1, 2**31 - 1, len(nz)).astype(np.int32)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(pk.topk_keys(jnp.asarray(keys), k))
+        expect = np.sort(keys)[::-1][:k]
+        assert np.array_equal(got, expect), (n, k)
