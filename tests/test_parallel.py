@@ -95,3 +95,29 @@ def test_sharded_match_matches_single():
 
     assert np.array_equal(np.asarray(idx_s), np.asarray(idx_d))
     assert np.array_equal(np.asarray(dist_s), np.asarray(dist_d))
+
+
+def test_checkpointed_runner_resumes(tmp_path):
+    from pislam_tpu.parallel.elastic import CheckpointedRunner, initialize_multihost
+
+    assert initialize_multihost() == 0  # single-process no-op
+
+    calls = []
+
+    def step(state, item):
+        calls.append(int(item))
+        return {"acc": state["acc"] + jnp.float32(item)}
+
+    d = str(tmp_path / "ck")
+    r = CheckpointedRunner(step, d, every=3)
+    s = r.resume({"acc": jnp.float32(0)})
+    s = r.run(s, range(5))
+    assert float(s["acc"]) == 10.0 and calls == [0, 1, 2, 3, 4]
+
+    # a "restarted" worker resumes from the step-3 checkpoint
+    calls.clear()
+    r2 = CheckpointedRunner(step, d, every=3)
+    s2 = r2.resume({"acc": jnp.float32(0)})
+    s2 = r2.run(s2, range(5))
+    assert float(s2["acc"]) == 10.0
+    assert calls == []  # final checkpoint covered all 5 steps
