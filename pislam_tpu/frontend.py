@@ -64,10 +64,12 @@ def _extract_impl(img, level_mask, cfg: PislamConfig) -> Features:
     if fc.log_bucket_size > 0:
         enc = nms.encode_grid(score, keep)
         enc = nms.bucket_topk(enc, fc.border, fc.log_bucket_size, fc.bucket_limit)
-        codes, valid = nms.select_topk(enc, fc.max_keypoints)
+        # bucket survivors are a subset of NMS survivors, so the fast
+        # 2x2-reduction selector still applies to their score grid
+        scored = (enc >> 24).astype(jnp.uint8)
     else:
         scored = jnp.where(keep, score, jnp.uint8(0))
-        codes, valid = nms.select_topk_scored(scored, fc.max_keypoints)
+    codes, valid = nms.select_topk_scored(scored, fc.max_keypoints)
 
     xs = codec.decode_x(codes).astype(jnp.int32)
     ys = codec.decode_y(codes).astype(jnp.int32)
