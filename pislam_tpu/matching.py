@@ -54,10 +54,13 @@ def hamming_matrix(desc1, desc2, valid1=None, valid2=None):
 
 
 def _best_two(dist):
-    """Row-wise (best_idx, best, second_best) of a distance matrix."""
+    """Row-wise (best_idx, best, second_best) of a distance matrix.
+
+    Scatter-free: a masked second min (TPU scatters cost ~1 us per row)."""
     best_idx = jnp.argmin(dist, axis=1)
-    best = jnp.take_along_axis(dist, best_idx[:, None], axis=1)[:, 0]
-    masked = dist.at[jnp.arange(dist.shape[0]), best_idx].set(MAX_DIST)
+    best = jnp.min(dist, axis=1)
+    cols = jnp.arange(dist.shape[1], dtype=best_idx.dtype)
+    masked = jnp.where(cols[None, :] == best_idx[:, None], MAX_DIST, dist)
     second = jnp.min(masked, axis=1)
     return best_idx, best, second
 
