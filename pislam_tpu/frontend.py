@@ -20,7 +20,6 @@ Keypoints are strongest-first by (score, x, y).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
@@ -28,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import PislamConfig
-from .ops import fast, harris, nms, patches, orientation, brief
+from .ops import brief, fast, harris, nms, patches
 from .utils import codec
 
 

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from . import se3
 
 
 def _constraint_rows(p1, p2, w=None):

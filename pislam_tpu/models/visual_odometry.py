@@ -19,8 +19,7 @@ known ground truth.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +30,6 @@ from ..config import PislamConfig
 from ..frontend import Features, make_extract_fn
 from ..geometry import ransac
 from ..ops import pyramid as pyr_ops
-from ..utils import codec
 
 
 class VOState(NamedTuple):

@@ -16,7 +16,6 @@ the TPU-native equivalents are:
 from __future__ import annotations
 
 import os
-import time
 from typing import Any, Callable, Optional
 
 import jax

@@ -11,8 +11,6 @@ from __future__ import annotations
 import os
 from typing import Any
 
-import jax
-
 
 def save(path: str, state: Any):
     """Save a pytree checkpoint (overwrites)."""
