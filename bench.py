@@ -94,18 +94,21 @@ def main():
     _, valid1 = make_chain(1)(stack)  # unperturbed frame for the count
     nfeat = int(np.asarray(valid1).sum())
 
-    def run(f):
-        times = []
-        for _ in range(7):
-            t0 = time.perf_counter()
-            c, _ = f(stack)
-            np.asarray(c[0])  # true sync (one tunnel round-trip)
-            times.append(time.perf_counter() - t0)
-        return float(np.median(times))
+    def once(f):
+        t0 = time.perf_counter()
+        c, _ = f(stack)
+        np.asarray(c[0])  # true sync (one tunnel round-trip)
+        return time.perf_counter() - t0
 
-    run(f_lo)  # warm both executables before timing
-    run(f_hi)
-    per = (run(f_hi) - run(f_lo)) / (n_hi - n_lo)
+    once(f_lo)  # warm both executables before timing
+    once(f_hi)
+    # the tunnel drifts +-40% between runs: interleave the two chain
+    # lengths and take mins so both see the same best-case device state
+    lo, hi = [], []
+    for _ in range(10):
+        lo.append(once(f_lo))
+        hi.append(once(f_hi))
+    per = (min(hi) - min(lo)) / (n_hi - n_lo)
     fps = 1.0 / per
 
     pi3_fps = 50.0  # BASELINE.md: ~20 ms/frame at ~1000-1900 features

@@ -103,6 +103,11 @@ class FrontendConfig:
     # README.md:99-101 "comfortably handle up to 2000"); raise for
     # low-threshold configs. Per-frame cost scales with this capacity.
     max_keypoints: int = 2048
+    # Experimental: run FAST+Harris+NMS as one fused Pallas pass instead of
+    # XLA dense ops. 2.7x faster in isolation but currently slower inside
+    # the full pipeline (the 277-step grid schedules worse against the
+    # surrounding stages than XLA's wide fusions); bit-exact either way.
+    fused_upstream: bool = False
 
     def __post_init__(self):
         assert self.border >= 16, "border must cover FAST(3)+Harris(4)+ORB(15)"

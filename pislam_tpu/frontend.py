@@ -55,20 +55,36 @@ class Features(NamedTuple):
 
 
 def _extract_impl(img, level_mask, cfg: PislamConfig) -> Features:
+    from .ops import pallas_kernels as pk
+
     fc = cfg.frontend
-    corner = fast.fast_detect(img, fc.fast_threshold)
-    score = harris.harris_score(img, fc.harris_threshold, mask=corner)
-    score = jnp.where(level_mask, score, jnp.uint8(0))
-    keep = nms.nms(score)
-    if fc.log_bucket_size > 0:
-        enc = nms.encode_grid(score, keep)
-        enc = nms.bucket_topk(enc, fc.border, fc.log_bucket_size, fc.bucket_limit)
-        # bucket survivors are a subset of NMS survivors, so the fast
-        # 2x2-reduction selector still applies to their score grid
-        scored = (enc >> 24).astype(jnp.uint8)
+    # level_mask must be CONCRETE (numpy): it is static config data that
+    # bakes into the executable (the fused path's mask16 relayout costs
+    # ~0.6 ms per frame if computed with traced ops)
+    level_mask = np.asarray(level_mask)
+    if (fc.fused_upstream and pk.available(img.shape)
+            and fc.log_bucket_size == 0):
+        # fused Pallas pass: FAST + Harris + mask + NMS + encode + 2x2 merge
+        keys = pk.fused_frontend_keys(
+            img, jnp.asarray(pk.build_mask16(level_mask)),
+            fc.fast_threshold, fc.harris_threshold)
+        reduced = pk.reduce_keys_2x(keys)
+        codes, valid = nms.select_topk_codes(reduced, fc.max_keypoints)
     else:
-        scored = jnp.where(keep, score, jnp.uint8(0))
-    codes, valid = nms.select_topk_scored(scored, fc.max_keypoints)
+        corner = fast.fast_detect(img, fc.fast_threshold)
+        score = harris.harris_score(img, fc.harris_threshold, mask=corner)
+        score = jnp.where(level_mask, score, jnp.uint8(0))
+        keep = nms.nms(score)
+        if fc.log_bucket_size > 0:
+            enc = nms.encode_grid(score, keep)
+            enc = nms.bucket_topk(enc, fc.border, fc.log_bucket_size,
+                                  fc.bucket_limit)
+            # bucket survivors are a subset of NMS survivors, so the fast
+            # 2x2-reduction selector still applies to their score grid
+            scored = (enc >> 24).astype(jnp.uint8)
+        else:
+            scored = jnp.where(keep, score, jnp.uint8(0))
+        codes, valid = nms.select_topk_scored(scored, fc.max_keypoints)
 
     xs = codec.decode_x(codes).astype(jnp.int32)
     ys = codec.decode_y(codes).astype(jnp.int32)
@@ -91,7 +107,6 @@ def make_extract_fn(cfg: PislamConfig):
         pc.level_sizes, pc.level_rows, pc.padded_height, pc.stride,
         cfg.frontend.border,
     )
-    mask = jnp.asarray(mask)
 
     @jax.jit
     def extract(img):

@@ -171,6 +171,170 @@ def gather_windows_packed(img, xs, ys, valid):
 
 
 # ---------------------------------------------------------------------------
+# fused dense frontend: FAST-9 + Harris + NMS + encode + vertical pair-merge
+# in one pass over the image, 8 output rows per grid step
+# ---------------------------------------------------------------------------
+# XLA runs the same chain in ~0.39 ms (HBM round trips between fusion
+# groups); this kernel keeps the whole 24-row working set in registers/VMEM
+# and computes each stage only on the rows it needs (~0.15 ms). Semantics are
+# bit-identical to fast.fast_detect + harris.harris_score + nms.nms +
+# encode + the 2x2 vertical code merge (asserted by tools/tpu_parity.py and
+# the interpreter tests).
+
+# FAST ring offsets (dy, dx), circular order -- fast.py:RING
+_RING = (
+    (-3, -1), (-3, 0), (-3, 1), (-2, 2),
+    (-1, 3), (0, 3), (1, 3), (2, 2),
+    (3, 1), (3, 0), (3, -1), (2, -2),
+    (1, -3), (0, -3), (-1, -3), (-2, -2),
+)
+
+
+def _fused_frontend_kernel(p_ref, c_ref, n_ref, m_ref, out_ref, *,
+                           width, fast_t, harris_t):
+    i = pl.program_id(0)
+    w = width
+
+    def lroll(v, dx):
+        """v[., c] -> v[., c + dx] (circular; borders are masked)."""
+        return pltpu.roll(v, (w - dx) % w, 1) if dx else v
+
+    # local rows [0, 24) = image rows [8i-8, 8i+16); score rows [7, 17)
+    # (one row of NMS halo), output rows [8, 16)
+    x = jnp.concatenate([p_ref[:], c_ref[:], n_ref[:]],
+                        axis=0).astype(jnp.int32)
+
+    # ---- FAST-9 segment test on rows [7, 17) (fast.py semantics) ----
+    xc = x[7:17]
+    dark_th = xc - fast_t
+    light_th = xc + fast_t
+    dark = jnp.zeros_like(xc)
+    light = jnp.zeros_like(xc)
+    for p_, (dy, dx) in enumerate(_RING):
+        s = lroll(x, dx)[7 + dy: 17 + dy]
+        dark = dark | ((s < dark_th).astype(jnp.int32) << p_)
+        light = light | ((s > light_th).astype(jnp.int32) << p_)
+
+    def run9(bits):
+        r = bits | (bits << 16)
+        r = r & (r >> 1)
+        r = r & (r >> 2)
+        r = r & (r >> 4)
+        r = r & (r >> 1)
+        return (r & 0xFFFF) != 0
+
+    corner = run9(dark) | run9(light)
+
+    # ---- Harris response on rows [7, 17) (harris.py exact integer chain):
+    # needs dx/dy on rows [5, 20), which need hd/vd on rows [4, 21)
+    x1 = lroll(x, 1)
+    xm1 = lroll(x, -1)
+    hd = (x1[4:21] - xm1[4:21]) >> 1
+    vd = (x[5:22] - x[3:20]) >> 1
+    dxv = (((hd[:15] + hd[2:17]) >> 1) + hd[1:16]) >> 1
+    vdm1 = lroll(vd, -1)
+    vd1 = lroll(vd, 1)
+    dyv = (((vdm1[1:16] + vd1[1:16]) >> 1) + vd[1:16]) >> 1
+
+    def win6(a):
+        acc = a
+        for u in (-2, -1, 1, 2, 3):
+            acc = acc + lroll(a, u)
+        acc2 = acc[0:10]
+        for v in (-1, 0, 1, 2, 3):
+            acc2 = acc2 + acc[v + 2: v + 12]
+        return acc2
+
+    sxx = win6(dxv * dxv)
+    syy = win6(dyv * dyv)
+    sxy = win6(dxv * dyv)
+    ixx = sxx >> 4
+    iyy = syy >> 4
+    ixy = sxy >> 4
+    trace = ixx + iyy
+    trace2 = pltpu.bitcast(
+        pltpu.bitcast(trace * trace, jnp.uint32) >> 4, jnp.int32)
+    det = ixx * iyy - ixy * ixy
+    hscore = det - trace2
+    fbits = pltpu.bitcast(hscore.astype(jnp.float32), jnp.uint32)
+    qf = ((fbits >> 20) & jnp.uint32(0xFF)).astype(jnp.int32)
+    m = m_ref[:10].astype(jnp.int32)
+    score = jnp.where(corner & (hscore > harris_t) & (m > 0), qf, 0)
+
+    # ---- 3x3 NMS, top-left tie-break, on rows [8, 16) (nms.py) ----
+    s0, s1, s2 = score[0:8], score[1:9], score[2:10]
+    c = s1
+    keep = ((c > 0)
+            & (c >= lroll(s0, -1)) & (c >= s0) & (c >= lroll(s0, 1))
+            & (c >= lroll(s1, -1))
+            & (c > lroll(s1, 1)) & (c > lroll(s2, -1)) & (c > s2)
+            & (c > lroll(s2, 1)))
+    scored = jnp.where(keep, c, 0).astype(jnp.uint8)
+
+    # ---- encode + vertical pair-merge (as _vmerge_kernel) ----
+    v = pltpu.bitcast(scored, jnp.uint32)              # (2, W): 4 rows/lane
+    xcol = jax.lax.broadcasted_iota(jnp.uint32, (2, w), 1)
+    ybase = (jnp.uint32(8) * i.astype(jnp.uint32)
+             + jax.lax.broadcasted_iota(jnp.uint32, (2, w), 0) * 4)
+
+    def enc(b, y):
+        code = jnp.where(b > 0, (b << 24) | (xcol << 12) | y, jnp.uint32(0))
+        return pltpu.bitcast(code ^ jnp.uint32(0x80000000), jnp.int32)
+
+    b0 = v & jnp.uint32(0xFF)
+    b1 = (v >> 8) & jnp.uint32(0xFF)
+    b2 = (v >> 16) & jnp.uint32(0xFF)
+    b3 = (v >> 24) & jnp.uint32(0xFF)
+    out_ref[0, 0] = jnp.maximum(enc(b0, ybase), enc(b1, ybase + 1))
+    out_ref[0, 1] = jnp.maximum(enc(b2, ybase + 2), enc(b3, ybase + 3))
+
+
+def build_mask16(level_mask: np.ndarray) -> np.ndarray:
+    """(H, W) bool level mask -> (H/8*16, W) u8 blocks of score-halo rows.
+
+    Block i rows [0, 10) hold mask rows [8i-1, 8i+9) (zero-padded at the
+    image edges); rows [10, 16) are alignment padding. Pure numpy: the mask
+    is static config data, so this bakes into the executable as a constant
+    (computing it with traced ops cost ~0.6 ms per frame).
+    """
+    level_mask = np.asarray(level_mask)
+    h, w = level_mask.shape
+    n = h // 8
+    out = np.zeros((n, 16, w), np.uint8)
+    mpad = np.pad(level_mask.astype(np.uint8), ((1, 9), (0, 0)))
+    for i in range(n):
+        out[i, :10] = mpad[8 * i: 8 * i + 10]
+    return out.reshape(n * 16, w)
+
+
+def fused_frontend_keys(img, mask16, fast_t: int, harris_t: int):
+    """(H, W) u8 image -> (H/2, W) int32 order-mapped survivor keys.
+
+    One fused pass: FAST + Harris + level mask + NMS + encode + vertical
+    2x2 pair-merge. Feed the result to select-top-k via the horizontal
+    compaction (reduce_keys_2x + topk_keys)."""
+    h, w = img.shape
+    n = h // 8
+    kern = functools.partial(_fused_frontend_kernel, width=w,
+                             fast_t=fast_t, harris_t=harris_t)
+    bs = lambda f: pl.BlockSpec((8, w), f, memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(n,),
+        in_specs=[
+            bs(lambda i: (jnp.maximum(i - 1, 0), 0)),
+            bs(lambda i: (i, 0)),
+            bs(lambda i: (jnp.minimum(i + 1, n - 1), 0)),
+            pl.BlockSpec((16, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, 2, w), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 2, 2, w), jnp.int32),
+    )(img, img, img, mask16)
+    return out.reshape(n * 4, w)
+
+
+# ---------------------------------------------------------------------------
 # exact top-k selection: bitonic partial sort, entirely in VMEM
 # ---------------------------------------------------------------------------
 # jax.lax.top_k costs ~1.3 ns/element on this chip (N-linear, k-independent).
@@ -292,24 +456,13 @@ def _deint_matrix(w: int) -> np.ndarray:
     return d
 
 
-def reduce_codes_4x(scored):
-    """(H, W) u8 scored NMS survivors -> (H/2, W/2) u32 codes.
+def reduce_keys_2x(m):
+    """(R, W) i32 vertically-merged keys -> (R, W/2) u32 codes.
 
-    Exact: 3x3 NMS leaves at most one survivor per 2x2 block, so the 2x2
-    max over packed codes preserves the survivor set (order is permuted,
-    which top_k does not care about). The horizontal pair-max + 2x lane
-    compaction runs as an exact one-hot f32 matmul on u16 halves.
+    Horizontal pair-max + 2x lane compaction as an exact one-hot f32 matmul
+    on u16 halves (Precision.HIGHEST; bf16 passes would round the halves).
     """
-    h, w = scored.shape
-    assert h % 4 == 0 and w % 2 == 0
-    h4 = h // 4
-    kern = functools.partial(_vmerge_kernel, h4=h4, width=w)
-    m = pl.pallas_call(
-        kern,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2, h4, w), jnp.int32),
-    )(scored).reshape(2 * h4, w)
+    w = m.shape[1]
     hm = jnp.maximum(m, jnp.roll(m, -1, axis=1))     # even lanes valid
     hmu = jax.lax.bitcast_convert_type(hm, jnp.uint32)
     deint = jnp.asarray(_deint_matrix(w))
@@ -321,3 +474,23 @@ def reduce_codes_4x(scored):
                  precision=jax.lax.Precision.HIGHEST)
     keys = (hi.astype(jnp.uint32) << 16) | lo.astype(jnp.uint32)
     return keys ^ jnp.uint32(0x80000000)             # back to raw codes
+
+
+def reduce_codes_4x(scored):
+    """(H, W) u8 scored NMS survivors -> (H/2, W/2) u32 codes.
+
+    Exact: 3x3 NMS leaves at most one survivor per 2x2 block, so the 2x2
+    max over packed codes preserves the survivor set (order is permuted,
+    which top_k does not care about).
+    """
+    h, w = scored.shape
+    assert h % 4 == 0 and w % 2 == 0
+    h4 = h // 4
+    kern = functools.partial(_vmerge_kernel, h4=h4, width=w)
+    m = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, h4, w), jnp.int32),
+    )(scored).reshape(2 * h4, w)
+    return reduce_keys_2x(m)

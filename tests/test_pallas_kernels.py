@@ -91,3 +91,27 @@ def test_bitonic_topk_interpret():
             got = np.asarray(pk.topk_keys(jnp.asarray(keys), k))
         expect = np.sort(keys)[::-1][:k]
         assert np.array_equal(got, expect), (n, k)
+
+
+def test_fused_frontend_keys_interpret():
+    """Fused FAST+Harris+NMS+merge kernel vs the XLA ops, survivor-set exact."""
+    from pislam_tpu.ops import fast, harris
+
+    h, w = 64, 256
+    img = _img(h, w, 7)
+    mask = np.zeros((h, w), bool)
+    mask[16:h - 16, 16:w - 16] = True
+    ji = jnp.asarray(img)
+    corner = fast.fast_detect(ji, 20)
+    score = harris.harris_score(ji, 1 << 10, mask=corner)
+    score = jnp.where(jnp.asarray(mask), score, jnp.uint8(0))
+    scored = np.asarray(jnp.where(nms.nms(score), score, jnp.uint8(0)))
+    enc = np.asarray(nms.encode_grid(jnp.asarray(scored),
+                                     jnp.asarray(scored > 0)))
+    with pltpu.force_tpu_interpret_mode():
+        keys = np.asarray(pk.fused_frontend_keys(
+            ji, jnp.asarray(pk.build_mask16(mask)), 20, 1 << 10))
+    codes = (keys.astype(np.int64) & 0xFFFFFFFF) ^ 0x80000000
+    got = np.sort(codes[codes != 0])
+    expect = np.sort(enc[enc != 0].astype(np.int64))
+    assert np.array_equal(got, expect)

@@ -82,7 +82,21 @@ def main():
     cf, df, cx, dx = map(np.asarray, (cf, df, cx, dx))
     assert np.array_equal(cf, cx), "keypoint codes diverge"
     assert np.array_equal(df, dx), f"descriptors diverge ({(df != dx).sum()} words)"
-    print(f"parity OK: {int((cf != 0).sum())} features, descriptors bit-exact")
+
+    # the production path and the experimental fused-upstream path too
+    import dataclasses
+    from pislam_tpu.frontend import _extract_impl
+    mask_np = np.asarray(mask) > 0  # concrete: bakes into the executable
+    for fused in (False, True):
+        c2 = dataclasses.replace(
+            cfg, frontend=dataclasses.replace(fc, fused_upstream=fused))
+        feats = jax.jit(lambda im, c2=c2: _extract_impl(im, mask_np, c2))(stack)
+        tag = "fused-upstream" if fused else "production"
+        assert np.array_equal(np.asarray(feats.codes), cx), f"{tag} codes diverge"
+        assert np.array_equal(np.asarray(feats.descriptors), dx), (
+            f"{tag} descriptors diverge")
+    print(f"parity OK: {int((cf != 0).sum())} features, descriptors bit-exact"
+          " (pallas components, XLA fallback, production and fused paths)")
 
     # xor-reduce over ALL descriptor words: a single-element probe would let
     # XLA slice the BRIEF matmul down to one row in intermediate iterations
