@@ -12,8 +12,10 @@ per the north star):
   landmarks and observations is refined with Schur-complement bundle
   adjustment (backend/ba.py) -- fixed-capacity masked arrays throughout, so
   the BA step is one compiled program reused every keyframe.
-* loop closure: add_loop_edge() + optimise_pose_graph() run pose-graph GN
-  over the keyframe trajectory (backend/pose_graph.py).
+* loop closure: match_keyframe() detects revisits against the keyframe
+  store, try_close_loop() adds the relative-pose edge and runs pose-graph GN
+  over the trajectory (backend/pose_graph.py); relocalise() recovers the
+  pose of a kidnapped frame from the map.
 
 Host-side Python only orchestrates keyframe decisions (small scalar reads);
 all heavy stages are jitted device programs. The image frontend is swappable
@@ -221,7 +223,80 @@ class KeyframeSLAM:
                 batch["xyz"][:take] = Xn[pos:pos + take]
             pos += k
 
-    # -- loop closure -------------------------------------------------------
+    # -- loop closure / relocalisation --------------------------------------
+
+    def match_keyframe(self, feats, pts, exclude_recent: int = 0,
+                       min_matches: int = 30):
+        """Match features against every stored keyframe; localise vs the best.
+
+        Returns (kf_index, R_rel, t_rel_unit, num_inliers) where the relative
+        pose maps the matched keyframe's camera to the query camera
+        (translation up to monocular scale), or (-1, None, None, 0) when no
+        keyframe reaches `min_matches` RANSAC-verified correspondences.
+        Keyframes newer than `len - exclude_recent` are skipped (loop
+        detection must not fire on the immediate past).
+        """
+        n = len(self.keyframes) - exclude_recent
+        if n <= 0:
+            return -1, None, None, 0
+        counts = []
+        for kf in self.keyframes[:n]:
+            idx2, _ = self._match(kf.feats.descriptors, feats.descriptors,
+                                  kf.feats.valid, feats.valid)
+            counts.append(int(np.sum(np.asarray(idx2) >= 0)))
+        best = int(np.argmax(counts))
+        if counts[best] < min_matches:
+            return -1, None, None, 0
+        out, _ = self._localise(self.keyframes[best], feats, pts)
+        n_inl = int(out["num_inliers"])
+        if n_inl < max(self.cfg.vo.min_inliers, min_matches // 2):
+            return -1, None, None, 0
+        t = np.asarray(out["t"])
+        t = t / max(np.linalg.norm(t), 1e-9)
+        return best, np.asarray(out["R"]), t, n_inl
+
+    def try_close_loop(self, min_matches: int = 40, exclude_recent: int = 3):
+        """Detect a loop for the newest keyframe and optimise the pose graph.
+
+        The loop edge's translation is monocular (unit norm); its scale is
+        set from the current pose estimates of the two keyframes, so the
+        edge corrects drift in direction/rotation rather than scale.
+        Returns the matched keyframe index, or -1 if no loop was found.
+        """
+        if len(self.keyframes) < exclude_recent + 2:
+            return -1
+        cur = self.keyframes[-1]
+        idx, R_rel, t_unit, _ = self.match_keyframe(
+            cur.feats, cur.pts, exclude_recent=exclude_recent,
+            min_matches=min_matches)
+        if idx < 0:
+            return -1
+        old = self.keyframes[idx]
+        # current-estimate baseline length sets the edge scale
+        c_old = -old.R.T @ old.t
+        c_cur = -cur.R.T @ cur.t
+        scale = float(np.linalg.norm(c_cur - c_old))
+        self.optimise_pose_graph(
+            loop_edges=[(old.index, cur.index, R_rel, t_unit * scale)])
+        return idx
+
+    def relocalise(self, frame, min_matches: int = 30):
+        """Localise a frame against the keyframe map (kidnapped-robot case).
+
+        Returns (R, t) world->camera, or None if no keyframe matches. The
+        translation inherits the map's scale via the matched keyframe's
+        stored pose plus a unit-norm relative offset (exact up to the
+        monocular scale of that offset).
+        """
+        feats, pts = self._features(frame)
+        idx, R_rel, t_unit, _ = self.match_keyframe(
+            feats, pts, min_matches=min_matches)
+        if idx < 0:
+            return None
+        kf = self.keyframes[idx]
+        R = R_rel @ kf.R
+        t = R_rel @ kf.t + t_unit
+        return R, t
 
     def optimise_pose_graph(self, loop_edges=()):
         """Global pose-graph GN over keyframes with sequential odometry edges

@@ -133,3 +133,47 @@ def test_pose_graph_refines_keyframes():
     after = slam.keyframe_positions()
     # consistency: pose graph over consistent odometry edges is ~no-op
     assert np.abs(after - before).max() < 0.05
+
+
+def test_relocalise_and_loop_detection():
+    xyz, desc = make_world(seed=4)
+    # out-and-back trajectory: the last frames revisit the first poses
+    Rs, ts = make_trajectory(10)
+    Rs = Rs + Rs[2:5]       # frames 10..12 repeat poses 2..4
+    ts = ts + ts[2:5]
+    cfg = tiny_cfg()
+    slam = KeyframeSLAM(cfg, FX, FY, CX, CY,
+                        features_fn=projector(xyz, desc, Rs, ts),
+                        keyframe_min_inliers=220, keyframe_max_gap=3)
+    for i in range(len(Rs)):
+        slam.process(i)
+    assert len(slam.keyframes) >= 4
+
+    # relocalise a frame identical to frame 3: the pose must match gt
+    pose = slam.relocalise(3, min_matches=30)
+    assert pose is not None
+    R, t = pose
+    c_est = -R.T @ t
+    c_gt = -Rs[3].T @ ts[3]
+    # direction/rotation exact up to the unit-norm monocular offset
+    assert np.linalg.norm(R - Rs[3]) < 0.05, R
+
+    # the final keyframe (a revisit) must close a loop against an early one
+    idx = slam.try_close_loop(min_matches=40, exclude_recent=2)
+    assert idx >= 0, "loop not detected on a revisited pose"
+    assert slam.keyframes[idx].frame <= 6
+
+    # a frame of pure noise must NOT relocalise
+    import jax.numpy as jnp
+    from pislam_tpu.frontend import Features as F
+    rng = np.random.default_rng(0)
+    noise_desc = rng.integers(0, 2**31, (K_SLOTS, 8),
+                              dtype=np.int64).astype(np.uint32)
+    codes = ((200 << 24) | (np.arange(K_SLOTS) % 600 + 20 << 12)
+             | (np.arange(K_SLOTS) % 400 + 20)).astype(np.uint32)
+    junk = F(codes=jnp.asarray(codes), valid=jnp.ones(K_SLOTS, bool),
+             angles=jnp.zeros(K_SLOTS, jnp.uint8),
+             descriptors=jnp.asarray(noise_desc))
+    i2, *_ = slam.match_keyframe(junk, np.zeros((K_SLOTS, 2), np.float32),
+                                 min_matches=30)
+    assert i2 == -1
