@@ -119,9 +119,21 @@ def make_extract_fn(cfg: PislamConfig):
 
 
 def extract_single_level(img, cfg: PislamConfig) -> Features:
-    """Extraction over one plain (H, W) image (no pyramid): test/VO helper."""
+    """Extraction over one plain (H, W) image (no pyramid): test/VO helper.
+
+    The image is zero-padded to the lane/sublane alignment the Pallas fast
+    path needs (width to a multiple of 128, height to a multiple of 8); the
+    validity mask keeps the original border, so the padding never changes
+    which features are found (all reads from a valid keypoint stay >= 16
+    pixels inside the original image).
+    """
+    from .config import round_up
+
     h, w = img.shape
     b = cfg.frontend.border
-    m = np.zeros((h, w), bool)
+    ph, pw = round_up(h, 8), max(round_up(w, 128), 256)
+    if (ph, pw) != (h, w):
+        img = jnp.pad(img, ((0, ph - h), (0, pw - w)))
+    m = np.zeros((ph, pw), bool)
     m[b:h - b, b:w - b] = True
-    return _extract_impl(img, jnp.asarray(m), cfg)
+    return _extract_impl(img, m, cfg)

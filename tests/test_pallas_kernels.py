@@ -21,7 +21,14 @@ def _img(h, w, seed=0):
 
 
 def test_gather_windows_packed_interpret():
-    h, w, k = 64, 384, 96  # k deliberately not a multiple of BLOCK
+    _check_gather(64, 384, 96)   # k deliberately not a multiple of BLOCK
+
+
+def test_gather_windows_many_strips_interpret():
+    _check_gather(48, 768, 64)   # 5 strips (wide KITTI-like images)
+
+
+def _check_gather(h, w, k):
     rng = np.random.default_rng(1)
     img = _img(h, w, 1)
     xs = rng.integers(16, w - 16, k).astype(np.int32)
