@@ -25,6 +25,7 @@ Requires width >= 3 and height >= 3 for the reflection to be defined
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -33,26 +34,8 @@ def _rhadd(a, b):
     return (a + b + jnp.uint16(1)) >> 1
 
 
-def _reflect101_shift(img, offset, axis):
-    """Pixel at index i+offset with reflect-101 (mirror-without-repeat) border.
-
-    Matches the golden model's rolling-window border handling
-    (GaussianTest.cpp:163-186): index -1 -> 1, -2 -> 2, h -> h-2, h+1 -> h-3.
-    """
-    n = img.shape[axis]
-    idx = jnp.arange(n) + offset
-    # reflect-101: map i to the triangle wave over [0, n-1]
-    idx = jnp.abs(idx)
-    idx = jnp.where(idx > n - 1, 2 * (n - 1) - idx, idx)
-    return jnp.take(img, idx, axis=axis)
-
-
-def _blur_axis(img_u16, axis):
-    a = _reflect101_shift(img_u16, -2, axis)
-    b = _reflect101_shift(img_u16, -1, axis)
-    c = img_u16
-    d = _reflect101_shift(img_u16, +1, axis)
-    e = _reflect101_shift(img_u16, +2, axis)
+def _rhadd_chain(a, b, c, d, e):
+    """The exact vrhadd rewriting of [1 4 6 4 1]/16 (Gaussian.h:51-72)."""
     x = _rhadd(a, e)
     y = _rhadd(b, d)
     x = _rhadd(x, c)
@@ -60,13 +43,30 @@ def _blur_axis(img_u16, axis):
     return _rhadd(x, y)
 
 
+def _shifts(img, axis):
+    """Five static offset views (-2..+2) along ``axis`` of a 2-padded image.
+
+    Static slices (unlike index-array gathers) fuse into the consuming
+    elementwise chain on TPU, so the whole blur compiles to pad + one fused
+    VPU loop instead of eight materialised gathers.
+    """
+    n = img.shape[axis] - 4
+    return tuple(
+        jax.lax.slice_in_dim(img, k, k + n, axis=axis) for k in range(5)
+    )
+
+
 def gaussian5x5(img):
     """Blur a (..., H, W) uint8 image; byte-exact vs reference gaussian5x5.
 
     Vertical pass then horizontal pass, exactly like the golden model
-    (GaussianTest.cpp:159-215). Batch dims broadcast.
+    (GaussianTest.cpp:159-215), with reflect-101 borders (index -1 -> 1,
+    -2 -> 2, h -> h-2, h+1 -> h-3; jnp.pad mode='reflect' is exactly this
+    map). Reflection in x commutes with blurring in y, so one 2-D pad up
+    front serves both passes. Batch dims broadcast.
     """
-    x = img.astype(jnp.uint16)
-    x = _blur_axis(x, axis=-2)
-    x = _blur_axis(x, axis=-1)
+    pad = [(0, 0)] * (img.ndim - 2) + [(2, 2), (2, 2)]
+    x = jnp.pad(img.astype(jnp.uint16), pad, mode="reflect")
+    x = _rhadd_chain(*_shifts(x, axis=-2))   # (..., H, W+4)
+    x = _rhadd_chain(*_shifts(x, axis=-1))   # (..., H, W)
     return x.astype(jnp.uint8)
