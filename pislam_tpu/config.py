@@ -103,11 +103,12 @@ class FrontendConfig:
     # README.md:99-101 "comfortably handle up to 2000"); raise for
     # low-threshold configs. Per-frame cost scales with this capacity.
     max_keypoints: int = 2048
-    # Experimental: run FAST+Harris+NMS as one fused Pallas pass instead of
-    # XLA dense ops. 2.7x faster in isolation but currently slower inside
-    # the full pipeline (the 277-step grid schedules worse against the
-    # surrounding stages than XLA's wide fusions); bit-exact either way.
-    fused_upstream: bool = False
+    # Run FAST+Harris+NMS+encode as one fused Pallas pass instead of XLA
+    # dense ops (2.7x faster in isolation and ~10-30% faster in-context
+    # alongside the Pallas BRIEF kernel; interleaved A/B via
+    # tools/ab_frontend.py). Bit-exact either way; the XLA path remains the
+    # oracle and the CPU/bucketed fallback.
+    fused_upstream: bool = True
 
     def __post_init__(self):
         assert self.border >= 16, "border must cover FAST(3)+Harris(4)+ORB(15)"

@@ -31,6 +31,8 @@ patches.gather_patches_s8.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -107,26 +109,63 @@ def describe_packed(flat, angles, words: int = 8):
     return _bits_to_words(dsel, words)
 
 
+def _pack_bits_u8(bits, words: int):
+    """(K, 256) u8 descriptor bits -> (K, words) u32 (Brief.h:71-133 order)."""
+    k = bits.shape[0]
+    b = bits[:, : words * 32].astype(jnp.uint32).reshape(k, words, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(b << shifts, axis=-1, dtype=jnp.uint32)
+
+
 def orb_compute_packed(flat, words: int = 8):
     """Fused orientation + descriptors from packed windows.
 
     (K, 1024) packed int8 windows -> ((K,) uint8 angle bins, (K, words) u32).
 
-    One MXU matmul computes the p1-p0 differences for all 30 rotations AND
-    the image moments: the centroid weight columns (orientation.py) have
-    entries in [-15, 15], so they ride along as two extra int8 columns of
-    the BRIEF difference matrix (saves a separate skinny moments matmul).
-    Bit-exact vs centroids_packed + atan2_bins + describe_packed.
+    Off-CPU: a skinny moments matmul gives the angle bins, then the Pallas
+    rotation-select kernel (pallas_kernels.brief_select_bits) computes only
+    each keypoint's own rotation's sign bits with the difference matrix
+    resident in VMEM -- the (K, 30*256) i32 intermediate of the dense
+    formulation (62 MB at K=2048) never exists.
+
+    CPU fallback: one MXU matmul computes the p1-p0 differences for all 30
+    rotations AND the image moments (the centroid weight columns ride along
+    as two extra int8 columns), then selects per keypoint. Both paths are
+    bit-exact vs centroids_packed + atan2_bins + describe_packed.
     """
+    from . import pallas_kernels as pk
+
+    if jax.default_backend() != "cpu":
+        ang, bits = pk.orb_select_bits(flat, jnp.asarray(_gm_packed()))
+        return ang.astype(jnp.uint8), _pack_bits_u8(bits, words)
+    return _orb_compute_packed_dense(flat, words)
+
+
+@functools.lru_cache(maxsize=1)
+def _gm_packed() -> np.ndarray:
+    """(1024, pallas_kernels.ORB_GCOLS) i8: packed-layout GDIFF + moment
+    weight columns in the trailing 128-wide MXU tile (cols 0, 1 of it)."""
+    from .patches import remap_weights_packed
+    from .orientation import MOMENT_WEIGHTS
+    from . import pallas_kernels as pk
+
+    g = remap_weights_packed(GDIFF)                     # (1024, 7680) i8
+    mw = remap_weights_packed(MOMENT_WEIGHTS.astype(np.int8))  # (1024, 2)
+    pad = np.zeros((1024, pk.ORB_GCOLS - g.shape[1] - 2), np.int8)
+    return np.concatenate([g, mw, pad], axis=1)
+
+
+def _orb_compute_packed_dense(flat, words: int = 8):
+    """The dense all-rotations formulation (CPU fallback / A-B reference)."""
     from .patches import remap_weights_packed
     from .orientation import MOMENT_WEIGHTS, atan2_bins
 
+    k = flat.shape[0]
     g = remap_weights_packed(GDIFF)                     # (1024, 7680) i8
     mw = remap_weights_packed(
         MOMENT_WEIGHTS.astype(np.int8))                 # (1024, 2) i8
     gm = jnp.asarray(np.concatenate([g, mw], axis=1))   # (1024, 7682)
 
-    k = flat.shape[0]
     out = jax.lax.dot_general(
         flat, gm, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)

@@ -335,6 +335,195 @@ def fused_frontend_keys(img, mask16, fast_t: int, harris_t: int):
 
 
 # ---------------------------------------------------------------------------
+# fused BRIEF rotation-select matmul: descriptors without the (K, 30*256)
+# HBM intermediate
+# ---------------------------------------------------------------------------
+# The XLA formulation (brief.describe_packed) computes the p1-p0 difference
+# for ALL 30 rotations as one (K, 1024) x (1024, 7680) matmul and then
+# selects each keypoint's rotation -- writing and re-reading a (K, 7680) i32
+# intermediate (62 MB at K=2048), which costs more HBM time than the matmul
+# itself. Here the rotation loop runs inside one Pallas kernel: the +-1
+# difference matrix stays resident in VMEM (7.9 MB, constant block across
+# grid steps), each 128-keypoint block runs 30 (128,1024)x(1024,256) i8 MXU
+# dots, and the per-keypoint angle selects in-register. Only the final sign
+# bits (K, 256) u8 ever reach HBM. Bit-exact vs describe_packed (interpreter
+# tests + tools/tpu_parity.py).
+
+N_BITS_TOTAL = 30 * 256
+ORB_BLOCK = 256          # keypoints per grid step
+ORB_GCOLS = N_BITS_TOTAL + 128   # + one MXU tile of moment columns
+
+
+def _orb_select_kernel(flat_ref, g_ref, ang_ref, bits_ref):
+    from .orientation import atan2_bins
+
+    flat = flat_ref[:]                       # (B, 1024) i8
+    # disc moments ride in the last weight tile (columns 0, 1 of it)
+    mom = jax.lax.dot_general(
+        flat, g_ref[:, N_BITS_TOTAL:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)    # (B, 128)
+    ang = atan2_bins(mom[:, 0:1], mom[:, 1:2]).astype(jnp.int32)  # (B, 1)
+    acc = jnp.zeros((flat.shape[0], 256), jnp.int32)
+    for r in range(30):
+        slab = g_ref[:, r * 256: (r + 1) * 256]
+        part = jax.lax.dot_general(
+            flat, slab, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc = jnp.where(ang == r, part, acc)
+    ang_ref[:] = ang
+    bits_ref[:] = (acc > 0).astype(jnp.uint8)
+
+
+def orb_select_bits(flat, gm_packed):
+    """(K, 1024) i8 windows -> ((K,) i32 angle bins, (K, 256) u8 bits).
+
+    gm_packed: (1024, ORB_GCOLS) int8 constant -- brief.GDIFF remapped to
+    the packed window layout, with the two disc-moment weight columns in the
+    trailing 128-column tile (brief._gm_packed). K must be a multiple of
+    ORB_BLOCK (pad + reslice otherwise, as gather_windows_packed does).
+    """
+    k = flat.shape[0]
+    pad = (-k) % ORB_BLOCK
+    if pad:
+        ang, bits = orb_select_bits(
+            jnp.concatenate([flat, jnp.zeros((pad, flat.shape[1]), flat.dtype)]),
+            gm_packed)
+        return ang[:k], bits[:k]
+    ang, bits = pl.pallas_call(
+        _orb_select_kernel,
+        grid=(k // ORB_BLOCK,),
+        in_specs=[
+            pl.BlockSpec((ORB_BLOCK, 1024), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1024, ORB_GCOLS), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((ORB_BLOCK, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ORB_BLOCK, 256), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((k, 1), jnp.int32),
+            jax.ShapeDtypeStruct((k, 256), jnp.uint8),
+        ],
+    )(flat, gm_packed)
+    return ang.reshape(k), bits
+
+
+# ---------------------------------------------------------------------------
+# fused Hamming match reductions: distance blocks never reach HBM
+# ---------------------------------------------------------------------------
+# The XLA matcher (matching.py) materialises the (K1, K2) i32 distance
+# matrix (16 MB at K=2048) and re-reads it for min / argmin / masked-second
+# / column-argmin -- ~5 HBM round trips dominating the ~10 us MXU matmul.
+# This kernel computes each 256-row distance block in VMEM via one i8 MXU
+# dot and reduces it in-register: per-row best / first-argmin / second-best,
+# plus column min/first-argmin accumulated across grid steps in a
+# constant-index output block (flushed to HBM once). Semantics identical to
+# the XLA path (first-occurrence argmins; invalid slots pinned to MAX_DIST).
+
+MATCH_BLOCK = 256
+MATCH_MAX = 1 << 14   # matching.MAX_DIST (sentinel > any Hamming distance)
+
+
+def _match_reduce_kernel(a_ref, b_ref, v1_ref, v2_ref,
+                         best_ref, second_ref, idx_ref, col_ref, *, nbits):
+    i = pl.program_id(0)
+    a = a_ref[:]                  # (B, nbits) i8
+    b = b_ref[:]                  # (K2, nbits) i8, VMEM-resident
+    k2 = b.shape[0]
+    dot = jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    d = (nbits - dot) >> 1
+    d = jnp.where(v1_ref[:] != 0, d, MATCH_MAX)          # (B, 1) bcast
+    d = jnp.where(v2_ref[:] != 0, d, MATCH_MAX)          # (1, K2) bcast
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    best = jnp.min(d, axis=1, keepdims=True)
+    first = jnp.where(d == best, cols, k2)
+    idx = jnp.min(first, axis=1, keepdims=True)
+    masked = jnp.where(cols == idx, MATCH_MAX, d)
+    best_ref[:] = best
+    second_ref[:] = jnp.min(masked, axis=1, keepdims=True)
+    idx_ref[:] = idx
+
+    # column min / first-argmin accumulated across row blocks
+    rows = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+    cmin = jnp.min(d, axis=0, keepdims=True)             # (1, K2)
+    rfirst = jnp.where(d == cmin, rows, d.shape[0])
+    carg = (jnp.min(rfirst, axis=0, keepdims=True)
+            + i * d.shape[0]).astype(jnp.int32)
+    state = jnp.concatenate([cmin, carg], axis=0)        # (2, K2)
+
+    @pl.when(i == 0)
+    def _init():
+        col_ref[:] = state
+
+    @pl.when(i > 0)
+    def _update():
+        prev = col_ref[:]
+        take_new = cmin < prev[0:1]      # strict: keep first occurrence
+        col_ref[:] = jnp.concatenate(
+            [jnp.where(take_new, cmin, prev[0:1]),
+             jnp.where(take_new, carg, prev[1:2])], axis=0)
+
+
+def match_reduce(a_pm1, b_pm1, valid1, valid2):
+    """Row-wise (best, second, argmin) + column-wise first-argmin of the
+    Hamming distance matrix between +-1-expanded descriptors.
+
+    a_pm1 (K1, nbits) i8, b_pm1 (K2, nbits) i8. Returns
+    (best (K1,), second (K1,), idx (K1,), col_argmin (K2,)) int32, matching
+    matching.py's XLA reductions exactly.
+    """
+    k1, nbits = a_pm1.shape
+    k2 = b_pm1.shape[0]
+    pad = (-k1) % MATCH_BLOCK
+    if pad:
+        zb = jnp.zeros((pad, nbits), a_pm1.dtype)
+        best, second, idx, carg = match_reduce(
+            jnp.concatenate([a_pm1, zb]), b_pm1,
+            jnp.concatenate([valid1, jnp.zeros(pad, bool)]), valid2)
+        return best[:k1], second[:k1], idx[:k1], carg
+    kern = functools.partial(_match_reduce_kernel, nbits=nbits)
+    grid = (k1 // MATCH_BLOCK,)
+    col = lambda: pl.BlockSpec((MATCH_BLOCK, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+    best, second, idx, colstate = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((MATCH_BLOCK, nbits), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k2, nbits), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((MATCH_BLOCK, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[col(), col(), col(),
+                   pl.BlockSpec((2, k2), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct((k1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((k1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((k1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((2, k2), jnp.int32),
+        ],
+    )(a_pm1,
+      b_pm1,
+      valid1.reshape(k1, 1).astype(jnp.int32),
+      valid2.reshape(1, k2).astype(jnp.int32))
+    return (best.reshape(k1), second.reshape(k1), idx.reshape(k1),
+            colstate[1])
+
+
+# ---------------------------------------------------------------------------
 # exact top-k selection: bitonic partial sort, entirely in VMEM
 # ---------------------------------------------------------------------------
 # jax.lax.top_k costs ~1.3 ns/element on this chip (N-linear, k-independent).

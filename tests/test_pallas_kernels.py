@@ -122,3 +122,48 @@ def test_fused_frontend_keys_interpret():
     got = np.sort(codes[codes != 0])
     expect = np.sort(enc[enc != 0].astype(np.int64))
     assert np.array_equal(got, expect)
+
+
+def test_orb_select_bits_interpret():
+    """Fused moments+atan2+rotation-select kernel == the dense formulation."""
+    from pislam_tpu.ops import brief
+
+    rng = np.random.default_rng(7)
+    k = 300  # deliberately not a multiple of ORB_BLOCK
+    flat = rng.integers(-128, 128, (k, 1024)).astype(np.int8)
+    with pltpu.force_tpu_interpret_mode():
+        ang, bits = pk.orb_select_bits(
+            jnp.asarray(flat), jnp.asarray(brief._gm_packed()))
+    words = np.asarray(brief._pack_bits_u8(bits, 8))
+    eang, edesc = brief._orb_compute_packed_dense(jnp.asarray(flat), 8)
+    assert np.array_equal(np.asarray(ang), np.asarray(eang).astype(np.int32))
+    assert np.array_equal(words, np.asarray(edesc))
+
+
+def test_match_reduce_interpret():
+    """Fused match reductions == the XLA distance-matrix reductions."""
+    from pislam_tpu import matching
+
+    rng = np.random.default_rng(11)
+    k1, k2 = 320, 256  # k1 not a multiple of MATCH_BLOCK
+    d1 = rng.integers(0, 2**32, (k1, 8), dtype=np.uint32)
+    d2 = rng.integers(0, 2**32, (k2, 8), dtype=np.uint32)
+    # force some exact duplicates so argmin tie-breaks are exercised
+    d2[100] = d1[7]
+    d2[101] = d1[7]
+    d1[200] = d1[7]
+    v1 = rng.random(k1) < 0.9
+    v2 = rng.random(k2) < 0.9
+    a = matching.expand_pm1(jnp.asarray(d1))
+    b = matching.expand_pm1(jnp.asarray(d2))
+    with pltpu.force_tpu_interpret_mode():
+        best, second, idx, carg = pk.match_reduce(
+            a, b, jnp.asarray(v1), jnp.asarray(v2))
+    dist = matching.hamming_matrix(jnp.asarray(d1), jnp.asarray(d2),
+                                   jnp.asarray(v1), jnp.asarray(v2))
+    eidx, ebest, esecond = matching._best_two(dist)
+    ecarg = jnp.argmin(dist, axis=0)
+    assert np.array_equal(np.asarray(best), np.asarray(ebest))
+    assert np.array_equal(np.asarray(second), np.asarray(esecond))
+    assert np.array_equal(np.asarray(idx), np.asarray(eidx))
+    assert np.array_equal(np.asarray(carg), np.asarray(ecarg))
