@@ -21,9 +21,8 @@ Why these exist (measured on a v5e chip, demo pyramid, K=4096):
   3x3 NMS guarantees <=1 survivor per 2x2 block (adjacent survivors are
   impossible, Fast.h:258-310 semantics), so the kernel below reduces the
   scored grid 4x exactly before top_k: vertical pair-max via the same
-  bitcast row-packing, horizontal pair-max + compaction via an exact
-  one-hot f32 matmul on u16 halves (Precision.HIGHEST; bf16 passes would
-  round 16-bit halves).
+  bitcast row-packing, horizontal pair-max + a strided-slice lane
+  compaction (in-context free; see reduce_keys_2x).
 
 All outputs are bit-exact vs the pure-XLA fallbacks in nms.py/patches.py
 (asserted by tools/tpu_parity.py on hardware and by unit tests on CPU).
@@ -138,6 +137,11 @@ def gather_windows_packed(img, xs, ys, valid):
     Packed flat layout: byte (r, c) of the window (rows y-15..y+16,
     cols x-15..x+16) lands at index (r >> 2) * 128 + c * 4 + (r & 3).
     Invalid keypoints are redirected to a safe interior coordinate.
+
+    Gathers NR=9 single-pack strip rows per keypoint. A 2-row "8-pack"
+    variant (fewer 16 ns-floor gathered rows, 2048-lane realign rolls) was
+    tried and measured ~5x SLOWER: wide-lane pltpu.roll rounds dominate
+    (tools/ab_gather.py). Keep gather rows narrow.
     """
     h, w = img.shape
     k = xs.shape[0]
@@ -637,31 +641,16 @@ def _vmerge_kernel(s_ref, out_ref, *, h4, width):
     out_ref[1] = jnp.maximum(enc(b2, y4 + 2), enc(b3, y4 + 3))
 
 
-@functools.lru_cache(maxsize=8)
-def _deint_matrix(w: int) -> np.ndarray:
-    # numpy, not jnp: a cached device constant would leak tracers under jit
-    d = np.zeros((w, w // 2), np.float32)
-    d[np.arange(0, w, 2), np.arange(w // 2)] = 1.0
-    return d
-
-
 def reduce_keys_2x(m):
     """(R, W) i32 vertically-merged keys -> (R, W/2) u32 codes.
 
-    Horizontal pair-max + 2x lane compaction as an exact one-hot f32 matmul
-    on u16 halves (Precision.HIGHEST; bf16 passes would round the halves).
+    Horizontal pair-max + 2x lane compaction. The compaction is a plain
+    strided slice: XLA lowers it to a relayout that is in-context free,
+    beating both the one-hot HIGHEST-precision f32 matmul and bf16
+    u8-quarter matmuls it replaced (interleaved A/B, tools/ab_reduce.py).
     """
-    w = m.shape[1]
     hm = jnp.maximum(m, jnp.roll(m, -1, axis=1))     # even lanes valid
-    hmu = jax.lax.bitcast_convert_type(hm, jnp.uint32)
-    deint = jnp.asarray(_deint_matrix(w))
-    hi = jnp.dot((hmu >> 16).astype(jnp.float32), deint,
-                 preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
-    lo = jnp.dot((hmu & jnp.uint32(0xFFFF)).astype(jnp.float32), deint,
-                 preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
-    keys = (hi.astype(jnp.uint32) << 16) | lo.astype(jnp.uint32)
+    keys = jax.lax.bitcast_convert_type(hm[:, ::2], jnp.uint32)
     return keys ^ jnp.uint32(0x80000000)             # back to raw codes
 
 
