@@ -78,7 +78,9 @@ def main(argv=None):
         stack = jnp.asarray(buf)
 
     extract = pislam_tpu.make_extract_fn(cfg)
-    feats = jax.block_until_ready(extract(stack))  # compile
+    # warm + TRUE sync: on the tunneled axon platform block_until_ready does
+    # not synchronise; a host readback does (verify skill, timing gotchas)
+    np.asarray(extract(stack).valid)
 
     t0 = time.perf_counter()
     feats = extract(stack)

@@ -122,11 +122,11 @@ def orb_compute_packed(flat, words: int = 8):
 
     (K, 1024) packed int8 windows -> ((K,) uint8 angle bins, (K, words) u32).
 
-    Off-CPU: a skinny moments matmul gives the angle bins, then the Pallas
-    rotation-select kernel (pallas_kernels.brief_select_bits) computes only
-    each keypoint's own rotation's sign bits with the difference matrix
-    resident in VMEM -- the (K, 30*256) i32 intermediate of the dense
-    formulation (62 MB at K=2048) never exists.
+    Off-CPU: the fused Pallas kernel (pallas_kernels.orb_select_bits)
+    computes the disc moments, the atan2 angle bins AND each keypoint's own
+    rotation's sign bits in one pass, with the difference matrix resident
+    in VMEM -- the (K, 30*256) i32 intermediate of the dense formulation
+    (62 MB at K=2048) never exists.
 
     CPU fallback: one MXU matmul computes the p1-p0 differences for all 30
     rotations AND the image moments (the centroid weight columns ride along
