@@ -64,10 +64,13 @@ def _extract_impl(img, level_mask, cfg: PislamConfig) -> Features:
     level_mask = np.asarray(level_mask)
     if (fc.fused_upstream and pk.available(img.shape)
             and fc.log_bucket_size == 0):
-        # fused Pallas pass: FAST + Harris + mask + NMS + encode + 2x2 merge
+        # fused Pallas pass: FAST + Harris + mask + NMS + encode + 2x2
+        # merge; 16 output rows per grid step (vs 8) re-fetches each image
+        # row 2x instead of 3x and halves grid overhead: -24% in-context
+        # (tools/ab_fused_rows.py), survivor-set identical
         keys = pk.fused_frontend_keys(
-            img, jnp.asarray(pk.build_mask16(level_mask)),
-            fc.fast_threshold, fc.harris_threshold)
+            img, jnp.asarray(pk.build_mask16(level_mask, pk.FUSED_NOUT)),
+            fc.fast_threshold, fc.harris_threshold, pk.FUSED_NOUT)
         reduced = pk.reduce_keys_2x(keys)
         codes, valid = nms.select_topk_codes(reduced, fc.max_keypoints)
     else:

@@ -185,6 +185,8 @@ def gather_windows_packed(img, xs, ys, valid):
 # encode + the 2x2 vertical code merge (asserted by tools/tpu_parity.py and
 # the interpreter tests).
 
+FUSED_NOUT = 16   # production rows/step (A/B'd vs 8: tools/ab_fused_rows.py)
+
 # FAST ring offsets (dy, dx), circular order -- fast.py:RING
 _RING = (
     (-3, -1), (-3, 0), (-3, 1), (-2, 2),
@@ -194,28 +196,29 @@ _RING = (
 )
 
 
-def _fused_frontend_kernel(p_ref, c_ref, n_ref, m_ref, out_ref, *,
-                           width, fast_t, harris_t):
+def _fused_frontend_kernel(*refs, width, fast_t, harris_t, nout):
     i = pl.program_id(0)
     w = width
+    nblk = nout // 8 + 2
+    m_ref = refs[nblk]
+    out_ref = refs[nblk + 1]
 
     def lroll(v, dx):
         """v[., c] -> v[., c + dx] (circular; borders are masked)."""
         return pltpu.roll(v, (w - dx) % w, 1) if dx else v
 
-    # local rows [0, 24) = image rows [8i-8, 8i+16); score rows [7, 17)
-    # (one row of NMS halo), output rows [8, 16)
-    x = jnp.concatenate([p_ref[:], c_ref[:], n_ref[:]],
-                        axis=0).astype(jnp.int32)
+    # local rows [0, nout+16) = image rows [nout*i-8, nout*i+nout+8);
+    # score rows [7, 9+nout) (one row of NMS halo), output rows [8, 8+nout)
+    x = jnp.concatenate([r[:] for r in refs[:nblk]], axis=0).astype(jnp.int32)
 
-    # ---- FAST-9 segment test on rows [7, 17) (fast.py semantics) ----
-    xc = x[7:17]
+    # ---- FAST-9 segment test on the score rows (fast.py semantics) ----
+    xc = x[7: 9 + nout]
     dark_th = xc - fast_t
     light_th = xc + fast_t
     dark = jnp.zeros_like(xc)
     light = jnp.zeros_like(xc)
     for p_, (dy, dx) in enumerate(_RING):
-        s = lroll(x, dx)[7 + dy: 17 + dy]
+        s = lroll(x, dx)[7 + dy: 9 + nout + dy]
         dark = dark | ((s < dark_th).astype(jnp.int32) << p_)
         light = light | ((s > light_th).astype(jnp.int32) << p_)
 
@@ -229,24 +232,26 @@ def _fused_frontend_kernel(p_ref, c_ref, n_ref, m_ref, out_ref, *,
 
     corner = run9(dark) | run9(light)
 
-    # ---- Harris response on rows [7, 17) (harris.py exact integer chain):
-    # needs dx/dy on rows [5, 20), which need hd/vd on rows [4, 21)
+    # ---- Harris response on the score rows (harris.py exact integer
+    # chain): needs dx/dy on rows [5, 11+nout), which need hd/vd on rows
+    # [4, 13+nout)
     x1 = lroll(x, 1)
     xm1 = lroll(x, -1)
-    hd = (x1[4:21] - xm1[4:21]) >> 1
-    vd = (x[5:22] - x[3:20]) >> 1
-    dxv = (((hd[:15] + hd[2:17]) >> 1) + hd[1:16]) >> 1
+    hd = (x1[4: 13 + nout] - xm1[4: 13 + nout]) >> 1
+    vd = (x[5: 14 + nout] - x[3: 12 + nout]) >> 1
+    dxv = (((hd[: nout + 7] + hd[2: nout + 9]) >> 1) + hd[1: nout + 8]) >> 1
     vdm1 = lroll(vd, -1)
     vd1 = lroll(vd, 1)
-    dyv = (((vdm1[1:16] + vd1[1:16]) >> 1) + vd[1:16]) >> 1
+    dyv = (((vdm1[1: nout + 8] + vd1[1: nout + 8]) >> 1)
+           + vd[1: nout + 8]) >> 1
 
     def win6(a):
         acc = a
         for u in (-2, -1, 1, 2, 3):
             acc = acc + lroll(a, u)
-        acc2 = acc[0:10]
+        acc2 = acc[0: nout + 2]
         for v in (-1, 0, 1, 2, 3):
-            acc2 = acc2 + acc[v + 2: v + 12]
+            acc2 = acc2 + acc[v + 2: v + 4 + nout]
         return acc2
 
     sxx = win6(dxv * dxv)
@@ -262,11 +267,11 @@ def _fused_frontend_kernel(p_ref, c_ref, n_ref, m_ref, out_ref, *,
     hscore = det - trace2
     fbits = pltpu.bitcast(hscore.astype(jnp.float32), jnp.uint32)
     qf = ((fbits >> 20) & jnp.uint32(0xFF)).astype(jnp.int32)
-    m = m_ref[:10].astype(jnp.int32)
+    m = m_ref[: nout + 2].astype(jnp.int32)
     score = jnp.where(corner & (hscore > harris_t) & (m > 0), qf, 0)
 
-    # ---- 3x3 NMS, top-left tie-break, on rows [8, 16) (nms.py) ----
-    s0, s1, s2 = score[0:8], score[1:9], score[2:10]
+    # ---- 3x3 NMS, top-left tie-break, on the output rows (nms.py) ----
+    s0, s1, s2 = score[0:nout], score[1: nout + 1], score[2: nout + 2]
     c = s1
     keep = ((c > 0)
             & (c >= lroll(s0, -1)) & (c >= s0) & (c >= lroll(s0, 1))
@@ -276,10 +281,11 @@ def _fused_frontend_kernel(p_ref, c_ref, n_ref, m_ref, out_ref, *,
     scored = jnp.where(keep, c, 0).astype(jnp.uint8)
 
     # ---- encode + vertical pair-merge (as _vmerge_kernel) ----
-    v = pltpu.bitcast(scored, jnp.uint32)              # (2, W): 4 rows/lane
-    xcol = jax.lax.broadcasted_iota(jnp.uint32, (2, w), 1)
-    ybase = (jnp.uint32(8) * i.astype(jnp.uint32)
-             + jax.lax.broadcasted_iota(jnp.uint32, (2, w), 0) * 4)
+    nv = nout // 4
+    v = pltpu.bitcast(scored, jnp.uint32)             # (nout/4, W): 4/lane
+    xcol = jax.lax.broadcasted_iota(jnp.uint32, (nv, w), 1)
+    ybase = (jnp.uint32(nout) * i.astype(jnp.uint32)
+             + jax.lax.broadcasted_iota(jnp.uint32, (nv, w), 0) * 4)
 
     def enc(b, y):
         code = jnp.where(b > 0, (b << 24) | (xcol << 12) | y, jnp.uint32(0))
@@ -293,49 +299,65 @@ def _fused_frontend_kernel(p_ref, c_ref, n_ref, m_ref, out_ref, *,
     out_ref[0, 1] = jnp.maximum(enc(b2, ybase + 2), enc(b3, ybase + 3))
 
 
-def build_mask16(level_mask: np.ndarray) -> np.ndarray:
-    """(H, W) bool level mask -> (H/8*16, W) u8 blocks of score-halo rows.
+def _mask_block_h(nout: int) -> int:
+    return -(-(nout + 2) // 8) * 8    # 16 for nout=8, 24 for nout=16
 
-    Block i rows [0, 10) hold mask rows [8i-1, 8i+9) (zero-padded at the
-    image edges); rows [10, 16) are alignment padding. Pure numpy: the mask
-    is static config data, so this bakes into the executable as a constant
-    (computing it with traced ops cost ~0.6 ms per frame).
+
+def build_mask16(level_mask: np.ndarray, nout: int = 8) -> np.ndarray:
+    """(H, W) bool level mask -> (ceil(H/nout)*mh, W) u8 score-halo blocks.
+
+    Block i rows [0, nout+2) hold mask rows [nout*i-1, nout*i+nout+1)
+    (zero-padded at the image edges); the rest of each mh-row block is
+    alignment padding. Pure numpy: the mask is static config data, so this
+    bakes into the executable as a constant (computing it with traced ops
+    cost ~0.6 ms per frame).
     """
     level_mask = np.asarray(level_mask)
     h, w = level_mask.shape
-    n = h // 8
-    out = np.zeros((n, 16, w), np.uint8)
-    mpad = np.pad(level_mask.astype(np.uint8), ((1, 9), (0, 0)))
+    n = -(-h // nout)
+    mh = _mask_block_h(nout)
+    out = np.zeros((n, mh, w), np.uint8)
+    mpad = np.pad(level_mask.astype(np.uint8), ((1, nout + 2), (0, 0)))
     for i in range(n):
-        out[i, :10] = mpad[8 * i: 8 * i + 10]
-    return out.reshape(n * 16, w)
+        out[i, : nout + 2] = mpad[nout * i: nout * i + nout + 2]
+    return out.reshape(n * mh, w)
 
 
-def fused_frontend_keys(img, mask16, fast_t: int, harris_t: int):
-    """(H, W) u8 image -> (H/2, W) int32 order-mapped survivor keys.
+def fused_frontend_keys(img, mask16, fast_t: int, harris_t: int,
+                        nout: int = 8):
+    """(H, W) u8 image -> (ceil(H/nout)*nout/2, W) int32 survivor keys.
 
     One fused pass: FAST + Harris + level mask + NMS + encode + vertical
-    2x2 pair-merge. Feed the result to select-top-k via the horizontal
-    compaction (reduce_keys_2x + topk_keys)."""
+    2x2 pair-merge, ``nout`` output rows per grid step (mask16 must be
+    built with the same nout). Feed the result to select-top-k via the
+    horizontal compaction (reduce_keys_2x + topk_keys). Rows beyond H
+    (when H % nout != 0) carry zero keys (their mask halo is zero)."""
     h, w = img.shape
-    n = h // 8
+    n = -(-h // nout)
+    if n * nout != h:
+        img = jnp.pad(img, ((0, n * nout - h), (0, 0)))
+    nblk = nout // 8 + 2
+    n8 = n * nout // 8
     kern = functools.partial(_fused_frontend_kernel, width=w,
-                             fast_t=fast_t, harris_t=harris_t)
+                             fast_t=fast_t, harris_t=harris_t, nout=nout)
     bs = lambda f: pl.BlockSpec((8, w), f, memory_space=pltpu.VMEM)
+    r = nout // 8
+    in_specs = [
+        bs(functools.partial(
+            lambda off, i: (jnp.clip(r * i + off, 0, n8 - 1), 0), off))
+        for off in range(-1, r + 1)
+    ]
+    in_specs.append(pl.BlockSpec((_mask_block_h(nout), w), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM))
     out = pl.pallas_call(
         kern,
         grid=(n,),
-        in_specs=[
-            bs(lambda i: (jnp.maximum(i - 1, 0), 0)),
-            bs(lambda i: (i, 0)),
-            bs(lambda i: (jnp.minimum(i + 1, n - 1), 0)),
-            pl.BlockSpec((16, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 2, 2, w), lambda i: (i, 0, 0, 0),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 2, nout // 4, w), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, 2, 2, w), jnp.int32),
-    )(img, img, img, mask16)
-    return out.reshape(n * 4, w)
+        out_shape=jax.ShapeDtypeStruct((n, 2, nout // 4, w), jnp.int32),
+    )(*([img] * nblk), mask16)
+    return out.reshape(n * nout // 2, w)
 
 
 # ---------------------------------------------------------------------------

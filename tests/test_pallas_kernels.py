@@ -102,9 +102,20 @@ def test_bitonic_topk_interpret():
 
 def test_fused_frontend_keys_interpret():
     """Fused FAST+Harris+NMS+merge kernel vs the XLA ops, survivor-set exact."""
+    _check_fused_keys(64, 256, nout=8)
+
+
+def test_fused_frontend_keys_16row_interpret():
+    _check_fused_keys(64, 256, nout=16)
+
+
+def test_fused_frontend_keys_16row_ragged_interpret():
+    _check_fused_keys(72, 256, nout=16)   # h % nout != 0: padded tail rows
+
+
+def _check_fused_keys(h, w, nout):
     from pislam_tpu.ops import fast, harris
 
-    h, w = 64, 256
     img = _img(h, w, 7)
     mask = np.zeros((h, w), bool)
     mask[16:h - 16, 16:w - 16] = True
@@ -117,7 +128,7 @@ def test_fused_frontend_keys_interpret():
                                      jnp.asarray(scored > 0)))
     with pltpu.force_tpu_interpret_mode():
         keys = np.asarray(pk.fused_frontend_keys(
-            ji, jnp.asarray(pk.build_mask16(mask)), 20, 1 << 10))
+            ji, jnp.asarray(pk.build_mask16(mask, nout)), 20, 1 << 10, nout))
     codes = (keys.astype(np.int64) & 0xFFFFFFFF) ^ 0x80000000
     got = np.sort(codes[codes != 0])
     expect = np.sort(enc[enc != 0].astype(np.int64))
