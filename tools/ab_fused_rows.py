@@ -41,7 +41,7 @@ def main():
         return jax.lax.reduce(o.astype(jnp.uint32), np.uint32(0),
                               jax.lax.bitwise_xor, tuple(range(o.ndim)))
 
-    masks = {n: jnp.asarray(pk.build_mask16(mask, n)) for n in (8, 16)}
+    masks = {n: jnp.asarray(pk.build_mask16(mask, n)) for n in (8, 16, 24, 32)}
 
     def make_op(nout, with_topk):
         def op(img):
@@ -59,17 +59,17 @@ def main():
     k8 = np.asarray(jax.jit(lambda im: pk.reduce_keys_2x(
         pk.fused_frontend_keys(im, masks[8], fc.fast_threshold,
                                fc.harris_threshold, 8)))(stack))
-    k16 = np.asarray(jax.jit(lambda im: pk.reduce_keys_2x(
-        pk.fused_frontend_keys(im, masks[16], fc.fast_threshold,
-                               fc.harris_threshold, 16)))(stack))
-    assert np.array_equal(np.sort(k8[k8 != 0]), np.sort(k16[k16 != 0]))
-    print("8-row and 16-row survivor sets identical on hardware")
+    for n in (16, 24, 32):
+        kn = np.asarray(jax.jit(lambda im, n=n: pk.reduce_keys_2x(
+            pk.fused_frontend_keys(im, masks[n], fc.fast_threshold,
+                                   fc.harris_threshold, n)))(stack))
+        assert np.array_equal(np.sort(k8[k8 != 0]), np.sort(kn[kn != 0])), n
+    print("8/16/24/32-row survivor sets identical on hardware")
 
     variants = {
-        "rows8": make_op(8, False),
-        "rows16": make_op(16, False),
-        "rows8+topk": make_op(8, True),
         "rows16+topk": make_op(16, True),
+        "rows24+topk": make_op(24, True),
+        "rows32+topk": make_op(32, True),
     }
 
     n_lo, n_hi = 2, 12
