@@ -78,7 +78,9 @@ def match(desc1, desc2, valid1, valid2, max_distance: int = 64,
     (pallas_kernels.match_reduce) fuses the i8 MXU distance blocks with all
     four reductions in VMEM (16 MB + ~4 re-reads saved at K=2048).
     """
-    if jax.default_backend() != "cpu":
+    nbits = desc1.shape[1] * 32
+    aligned = desc2.shape[0] % 128 == 0 and nbits % 128 == 0
+    if jax.default_backend() != "cpu" and aligned:
         from .ops import pallas_kernels as pk
 
         a = expand_pm1(desc1)
