@@ -91,6 +91,50 @@ def main():
                           "efficiency")
     print(json.dumps(report))
 
+    # ---- distributed BA weak scaling: GN iterations/s over the mesh ----
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+    from test_backend import synthetic_ba
+
+    iters = 6
+    pts_per_shard = 128
+    ba_results = {}
+    for n in sizes:
+        prob, _ = synthetic_ba(nc=8, npts=n * pts_per_shard, seed=3,
+                               pad_obs=64)
+        mesh = meshmod.make_mesh(
+            MeshConfig(data_parallel=1, model_parallel=n),
+            devices=jax.devices()[:n])
+        sharded = dist.shard_ba_problem(prob, n)
+        run = dist.make_distributed_ba(mesh, iters=iters, damping=1e-3)
+        out = run(sharded)
+        jax.block_until_ready(out)
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            out = run(sharded)
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        ba_results[n] = iters / float(np.median(times))
+
+    ba_base = ba_results[sizes[0]]
+    report = {
+        "metric": "distributed_ba_weak_scaling",
+        "platform": jax.default_backend(),
+        "points_per_shard": pts_per_shard,
+        "ba_iters_per_s": {str(n): round(v, 2)
+                           for n, v in ba_results.items()},
+        "slowdown_vs_1dev": {
+            str(n): round(ba_base / ba_results[n], 3) for n in sizes},
+    }
+    if jax.default_backend() == "cpu":
+        report["note"] = (
+            "weak scaling (total landmarks grow with devices) on virtual "
+            "devices sharing cores: ideal slowdown_vs_1dev = N; values "
+            "<= N mean the psum Schur reduction adds no overhead. On real "
+            "hardware ideal = 1.0 (run with --real on a slice).")
+    print(json.dumps(report))
+
 
 if __name__ == "__main__":
     main()
