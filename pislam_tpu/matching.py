@@ -79,7 +79,11 @@ def match(desc1, desc2, valid1, valid2, max_distance: int = 64,
     four reductions in VMEM (16 MB + ~4 re-reads saved at K=2048).
     """
     nbits = desc1.shape[1] * 32
-    aligned = desc2.shape[0] % 128 == 0 and nbits % 128 == 0
+    # kernel envelope: lane-aligned shapes, and the database + one
+    # (MATCH_BLOCK, K2) i32 distance block (with its live copies) must fit
+    # the ~16 MB per-kernel VMEM ceiling -- cap at the tested 2048x256 size
+    aligned = (desc2.shape[0] % 128 == 0 and nbits % 128 == 0
+               and desc2.shape[0] * nbits <= 2048 * 256)
     if jax.default_backend() != "cpu" and aligned:
         from .ops import pallas_kernels as pk
 

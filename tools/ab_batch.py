@@ -6,39 +6,21 @@ dispatch via vmap. Per-frame time = chain-iteration time / B.
 import os
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pislam_jax_cache")
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from _bench_common import load_demo
 
-import sys
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pislam_tpu.config import PislamConfig
 from pislam_tpu.frontend import _extract_impl
 from pislam_tpu.ops import nms
 
 
-def load():
-    from PIL import Image
-    cfg = PislamConfig()
-    pc = cfg.pyramid
-    stack = np.zeros((pc.padded_height, pc.stride), np.uint8)
-    img = np.asarray(Image.open("/root/reference/demo/input.png").convert("L"))
-    stack[: img.shape[0], : img.shape[1]] = img
-    mask = np.asarray(nms.make_level_mask(
-        pc.level_sizes, pc.level_rows, pc.padded_height, pc.stride,
-        cfg.frontend.border))
-    return cfg, stack, mask
 
 
 def main():
-    cfg, stack_np, mask = load()
+    cfg, stack_np, mask = load_demo()
     n_lo, n_hi = 2, 12
     batches = [int(b) for b in os.environ.get("AB_BATCH", "1,2,4,8").split(",")]
 

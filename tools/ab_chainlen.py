@@ -6,35 +6,13 @@ are biased and the segment used must be reported with the number.
 import os
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pislam_jax_cache")
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from _bench_common import load_demo as load
 
-import sys
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-from pislam_tpu.config import PislamConfig
 from pislam_tpu.frontend import _extract_impl
-from pislam_tpu.ops import nms
-
-
-def load():
-    from PIL import Image
-    cfg = PislamConfig()
-    pc = cfg.pyramid
-    stack = np.zeros((pc.padded_height, pc.stride), np.uint8)
-    img = np.asarray(Image.open("/root/reference/demo/input.png").convert("L"))
-    stack[: img.shape[0], : img.shape[1]] = img
-    mask = np.asarray(nms.make_level_mask(
-        pc.level_sizes, pc.level_rows, pc.padded_height, pc.stride,
-        cfg.frontend.border))
-    return cfg, stack, mask
 
 
 def main():
