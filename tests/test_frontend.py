@@ -89,3 +89,38 @@ def test_strongest_first_and_capacity():
     codes_8 = np.asarray(top8.codes)[np.asarray(top8.valid)]
     assert len(codes_8) == min(8, len(codes_all))
     assert codes_8.tolist() == sorted(codes_all.tolist(), reverse=True)[: len(codes_8)]
+
+
+def test_extract_single_level_padding_invariance():
+    """The lane/sublane padding the wrapper adds must not change features."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from pislam_tpu.config import PislamConfig
+    from pislam_tpu.frontend import _extract_impl, extract_single_level
+
+    rng = np.random.default_rng(3)
+    h, w = 120, 300                      # neither dimension aligned
+    img = rng.integers(0, 256, (h, w), np.uint8)
+    cfg = PislamConfig()
+    b = cfg.frontend.border
+
+    got = extract_single_level(jnp.asarray(img), cfg)
+
+    ph, pw = 128, 384                    # manual round_up(8) / round_up(128)
+    padded = np.zeros((ph, pw), np.uint8)
+    padded[:h, :w] = img
+    m = np.zeros((ph, pw), bool)
+    m[b:h - b, b:w - b] = True
+    expect = _extract_impl(jnp.asarray(padded), m, cfg)
+
+    gv = np.asarray(got.valid)
+    ev = np.asarray(expect.valid)
+    assert np.array_equal(np.asarray(got.codes)[gv],
+                          np.asarray(expect.codes)[ev])
+    assert np.array_equal(np.asarray(got.descriptors)[gv],
+                          np.asarray(expect.descriptors)[ev])
+    xs, ys = np.asarray(got.xs)[gv], np.asarray(got.ys)[gv]
+    assert gv.sum() > 0
+    assert (xs >= b).all() and (xs < w - b).all()
+    assert (ys >= b).all() and (ys < h - b).all()
