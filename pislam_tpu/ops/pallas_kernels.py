@@ -108,6 +108,67 @@ def _realign_kernel(psi_ref, phi_ref, rows_ref, out_ref):
     out_ref[:] = v[:, :8, :]
 
 
+def _realign2d_kernel(psi_ref, phi_ref, rows_ref, out_ref):
+    """Flat-2D variant of _realign_kernel: rows (B*NR, 256), offsets
+    repeated per row. Identical math; the 2-D (multiple-of-8 sublanes,
+    256 lanes) layout avoids the 3-D (B, 9, 256) form's relayouts.
+
+    The cyclic row-roll for the psi borrow reads the NEXT keypoint's first
+    row at each group's last row -- garbage that only lands in pack NR-1,
+    which the output never consumes (same argument as the 3-D kernel).
+    """
+    v = rows_ref[:]          # (B*NR, 256) u32
+    phi = phi_ref[:]         # (B*NR, 1)
+    psi = psi_ref[:]         # (B*NR, 1)
+    # coarse rounds on the full 256 lanes, then narrow to 128 lanes (the
+    # minimum pltpu.roll width): after the b=128 and b=64 rounds the
+    # residual offset is < 64, so the consumed window (cols < 32 + 63)
+    # lives entirely in the first 128 lanes -- the remaining six rounds
+    # run on half the data
+    for b in (128, 64):
+        rolled = pltpu.roll(v, 256 - b, axis=1)
+        v = jnp.where((phi & b) != 0, rolled, v)
+    v = v[:, :128]
+    for b in (32, 16, 8, 4, 2, 1):
+        rolled = pltpu.roll(v, 128 - b, axis=1)
+        v = jnp.where((phi & b) != 0, rolled, v)
+    v = v[:, :32]
+    n = v.shape[0]
+    for b in (1, 2):
+        vn = pltpu.roll(v, n - 1, axis=0)      # row i <- row i+1
+        r = 8 * b
+        shifted = (v >> jnp.uint32(r)) | (vn << jnp.uint32(32 - r))
+        v = jnp.where((psi & b) != 0, shifted, v)
+    out_ref[:] = v
+
+
+def realign_windows2d(rows, psi, phi):
+    """rows (K, NR, 256) u32; psi (K,) in [0,4); phi (K,) in [0, 225).
+
+    Returns (K, 8, 32) u32, bit-identical to realign_windows."""
+    k, nr, w = rows.shape
+    assert nr == NR and k % BLOCK == 0 and w == 256
+    rep = lambda a: jnp.repeat(
+        a.astype(jnp.int32), NR)[:, None]      # (K*NR, 1)
+    b9 = BLOCK * NR
+    out = pl.pallas_call(
+        _realign2d_kernel,
+        grid=(k // BLOCK,),
+        in_specs=[
+            pl.BlockSpec((b9, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b9, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b9, 256), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b9, 32), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k * NR, 32), jnp.uint32),
+    )(rep(psi), rep(phi), rows.reshape(k * NR, 256))
+    return out.reshape(k, NR, 32)[:, :8, :]
+
+
 def realign_windows(rows, psi, phi):
     """rows (K, NR, 256) u32; psi (K,) in [0,4); phi (K,) in [0, 225)."""
     k, nr, w = rows.shape
@@ -169,7 +230,7 @@ def gather_windows_packed(img, xs, ys, valid):
     # (valid keypoints have y <= h - 17, see tests/tools parity checks)
     ridx = jnp.minimum(ridx, (strip[:, None] + 1) * h4 - 1)
     rows = jnp.take(strips, ridx.reshape(-1), axis=0).reshape(k, NR, 256)
-    p = realign_windows(rows, psi, phi)              # (K, 8, 32) u32
+    p = realign_windows2d(rows, psi, phi)            # (K, 8, 32) u32
     b8 = jax.lax.bitcast_convert_type(p, jnp.uint8)  # (K, 8, 32, 4)
     return b8.reshape(k, 1024)
 

@@ -178,3 +178,17 @@ def test_match_reduce_interpret():
     assert np.array_equal(np.asarray(second), np.asarray(esecond))
     assert np.array_equal(np.asarray(idx), np.asarray(eidx))
     assert np.array_equal(np.asarray(carg), np.asarray(ecarg))
+
+
+def test_realign2d_matches_realign():
+    rng = np.random.default_rng(13)
+    k = 256
+    rows = rng.integers(0, 2**32, (k, pk.NR, 256), dtype=np.uint32)
+    psi = rng.integers(0, 4, k).astype(np.int32)
+    phi = rng.integers(0, 225, k).astype(np.int32)
+    with pltpu.force_tpu_interpret_mode():
+        a = np.asarray(pk.realign_windows(
+            jnp.asarray(rows), jnp.asarray(psi), jnp.asarray(phi)))
+        b = np.asarray(pk.realign_windows2d(
+            jnp.asarray(rows), jnp.asarray(psi), jnp.asarray(phi)))
+    assert np.array_equal(a, b)
