@@ -47,6 +47,33 @@ def edge_residuals(g: PoseGraph):
     return r * g.edge_valid[:, None]
 
 
+def _analytic_jacobians(g: PoseGraph):
+    """Exact J_i, J_j (M, 6, 6) wrt left-multiplicative twists, via forward-
+    mode autodiff of the per-edge residual (the JAX-native replacement for
+    hand-derived SE(3) right-Jacobian formulas). Exact to float32 roundoff;
+    the forward-difference version below loses ~half the significand per
+    entry (eps=1e-5 in float32) which caps convergence on large loops.
+    """
+    def res(xi, Ri, ti, Rj, tj, ZR, Zt):
+        dRi, dti = se3.se3_exp(xi[:6])
+        dRj, dtj = se3.se3_exp(xi[6:])
+        Ri2, ti2 = dRi @ Ri, (dRi @ ti[:, None])[:, 0] + dti
+        Rj2, tj2 = dRj @ Rj, (dRj @ tj[:, None])[:, 0] + dtj
+        Rinv, tinv = se3.inverse(Ri2, ti2)
+        Rij, tij = se3.compose(Rinv, tinv, Rj2, tj2)
+        Zinv_R, Zinv_t = se3.inverse(ZR, Zt)
+        Er, Et = se3.compose(Zinv_R, Zinv_t, Rij, tij)
+        return se3.se3_log(Er, Et)
+
+    jac = jax.vmap(jax.jacfwd(res), in_axes=(None, 0, 0, 0, 0, 0, 0))(
+        jnp.zeros(12),
+        g.R[g.edge_i], g.t[g.edge_i], g.R[g.edge_j], g.t[g.edge_j],
+        g.edge_R, g.edge_t)  # (M, 6, 12)
+    r0 = edge_residuals(g)
+    m = g.edge_valid[:, None, None]
+    return jac[:, :, :6] * m, jac[:, :, 6:] * m, r0
+
+
 def _numerical_jacobians(g: PoseGraph, eps: float = 1e-5):
     """J_i, J_j (M, 6, 6) wrt left-multiplicative twists on nodes i and j.
 
@@ -86,7 +113,7 @@ def optimize(g: PoseGraph, iters: int = 10, damping: float = 1e-4):
     n = g.R.shape[0]
 
     def step(graph, _):
-        ji, jj, r = _numerical_jacobians(graph)
+        ji, jj, r = _analytic_jacobians(graph)
         # dense normal equations over (6N)
         h = jnp.zeros((n, 6, n, 6))
         b = jnp.zeros((n, 6))

@@ -56,7 +56,15 @@ def so3_exp(w):
 
 
 def so3_log(R):
-    """(..., 3, 3) rotation -> (..., 3) axis-angle (theta in [0, pi])."""
+    """(..., 3, 3) rotation -> (..., 3) axis-angle (theta in [0, pi]).
+
+    Differentiable at the identity: the small-angle branch derives its
+    series from u = sin(theta) = |v|/2 (polynomial in u^2, clean JVP)
+    instead of theta = arccos(trace...) whose derivative blows up at
+    theta = 0 -- required by the analytic pose-graph Jacobians
+    (backend/pose_graph.py) which autodiff through log at the residual,
+    i.e. exactly where edges are near-converged.
+    """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
     theta = jnp.arccos(cos)
@@ -68,16 +76,20 @@ def so3_log(R):
     th = theta[..., None]
     small = th < 0.07
     ths = jnp.where(small, 1.0, th)
+    # theta/(2 sin theta) = arcsin(u)/(2u) with u = sin(theta) = |v|/2;
+    # series in u^2 only (no arccos in the data path of this branch)
+    u2 = jnp.sum(v * v, -1, keepdims=True) * 0.25
     s = jnp.where(small,
-                  0.5 + th * th / 12.0 + 7.0 * th**4 / 720.0,
+                  0.5 * (1.0 + u2 / 6.0 + 3.0 * u2 * u2 / 40.0),
                   ths / (2.0 * jnp.sin(ths)))
     # theta -> pi branch (sin -> 0): axis_i^2 = (R_ii - cos) / (1 - cos),
-    # signs from the off-diagonal antisymmetric part v.
+    # signs from the off-diagonal antisymmetric part v. The 1e-12 inside
+    # sqrt keeps the JVP finite when an axis component is exactly zero.
     near_pi = theta[..., None] > 3.0
     diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], -1)
     axis = jnp.sqrt(jnp.clip(
         (diag - cos[..., None]) / jnp.clip(1.0 - cos[..., None], 1e-6, None),
-        0.0, 1.0))
+        0.0, 1.0) + 1e-12)
     sign = jnp.where(v >= 0, 1.0, -1.0)
     w_pi = axis * sign * theta[..., None]
     w_reg = v * s

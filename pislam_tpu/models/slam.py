@@ -276,8 +276,18 @@ class KeyframeSLAM:
         c_old = -old.R.T @ old.t
         c_cur = -cur.R.T @ cur.t
         scale = float(np.linalg.norm(c_cur - c_old))
+        # RANSAC measures T_rel with x_cur = R_rel x_old + t_rel, i.e.
+        # T_rel = X_cur X_old^-1 (camera-frame relative). The pose-graph edge
+        # convention (edge_residuals / odometry edges) is Z = X_old^-1 X_cur,
+        # so conjugate: Z = X_old^-1 (T_rel X_old). Passing T_rel directly
+        # would inject error proportional to the keyframes' absolute rotation
+        # (verified: perfect measurements left residual ~0.5 for
+        # non-commuting rotations).
+        t_rel = t_unit * scale
+        R_edge = old.R.T @ R_rel @ old.R
+        t_edge = old.R.T @ (R_rel @ old.t + t_rel - old.t)
         self.optimise_pose_graph(
-            loop_edges=[(old.index, cur.index, R_rel, t_unit * scale)])
+            loop_edges=[(old.index, cur.index, R_edge, t_edge)])
         return idx
 
     def relocalise(self, frame, min_matches: int = 30):

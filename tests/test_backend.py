@@ -155,3 +155,111 @@ def test_keyframe_store_ring():
     ids = sorted(np.asarray(store.frame_id).tolist())
     assert ids == [2, 3, 4]  # oldest evicted first
     assert bool(np.asarray(store.valid).all())
+
+
+def _random_graph(n=6, m_loop=2, seed=7, noise=0.1):
+    """Chain + random loop edges with NON-commuting rotations."""
+    rng = np.random.default_rng(seed)
+    Rs = [np.eye(3, dtype=np.float32)]
+    ts = [np.zeros(3, np.float32)]
+    for i in range(1, n):
+        w = rng.normal(0, 0.5, 3).astype(np.float32)  # arbitrary axes
+        dR = np.asarray(se3.so3_exp(jnp.asarray(w)))
+        Rs.append((dR @ Rs[-1]).astype(np.float32))
+        ts.append((ts[-1] + rng.normal(0, 1.0, 3)).astype(np.float32))
+    Rs, ts = np.stack(Rs), np.stack(ts)
+
+    ei, ej, eR, et = [], [], [], []
+
+    def add_edge(i, j):
+        Ri_inv, ti_inv = se3.inverse(jnp.asarray(Rs[i]), jnp.asarray(ts[i]))
+        Rij, tij = se3.compose(Ri_inv, ti_inv,
+                               jnp.asarray(Rs[j]), jnp.asarray(ts[j]))
+        ei.append(i); ej.append(j)
+        eR.append(np.asarray(Rij)); et.append(np.asarray(tij))
+
+    for i in range(n - 1):
+        add_edge(i, i + 1)
+    for _ in range(m_loop):
+        i, j = sorted(rng.choice(n, 2, replace=False))
+        add_edge(int(i), int(j))
+
+    R0, t0 = Rs.copy(), ts.copy()
+    for i in range(1, n):
+        dw = rng.normal(0, noise, 3).astype(np.float32)
+        R0[i] = np.asarray(se3.so3_exp(jnp.asarray(dw))) @ Rs[i]
+        t0[i] = ts[i] + rng.normal(0, noise, 3)
+
+    return pose_graph.PoseGraph(
+        R=jnp.asarray(R0), t=jnp.asarray(t0),
+        edge_i=jnp.asarray(np.int32(ei)), edge_j=jnp.asarray(np.int32(ej)),
+        edge_R=jnp.asarray(np.stack(eR)), edge_t=jnp.asarray(np.stack(et)),
+        edge_valid=jnp.ones(len(ei), bool), node_valid=jnp.ones(n, bool),
+    ), (Rs, ts)
+
+
+def test_analytic_jacobians_match_numerical():
+    g, _ = _random_graph(noise=0.15)
+    ja_i, ja_j, ra = pose_graph._analytic_jacobians(g)
+    jn_i, jn_j, rn = pose_graph._numerical_jacobians(g)
+    np.testing.assert_allclose(np.asarray(ra), np.asarray(rn), atol=1e-5)
+    # forward differences carry O(eps) truncation + float32 cancellation:
+    # agreement to a few percent absolute is all they can certify
+    np.testing.assert_allclose(np.asarray(ja_i), np.asarray(jn_i), atol=5e-2)
+    np.testing.assert_allclose(np.asarray(ja_j), np.asarray(jn_j), atol=5e-2)
+
+
+def test_analytic_jacobians_finite_at_convergence():
+    """At a perfectly consistent graph every residual is 0 -- the regime
+    where arccos-based log autodiff would produce NaNs."""
+    g, _ = _random_graph(noise=0.0)
+    ji, jj, r = pose_graph._analytic_jacobians(g)
+    assert np.isfinite(np.asarray(ji)).all()
+    assert np.isfinite(np.asarray(jj)).all()
+    assert float(jnp.sum(r ** 2)) < 1e-8
+
+
+def test_pose_graph_large_loop_converges_tight():
+    """64-node noisy loop with non-commuting rotations: analytic Jacobians
+    must drive the cost to float32 floor (the forward-difference version
+    plateaus orders of magnitude higher on this size)."""
+    g, (Rs, ts) = _random_graph(n=64, m_loop=6, seed=11, noise=0.05)
+    c0 = float(jnp.sum(pose_graph.edge_residuals(g) ** 2))
+    g2, costs = pose_graph.optimize(g, iters=20, damping=1e-6)
+    c1 = float(costs[-1])
+    assert c1 < c0 * 1e-8, (c0, c1)
+    assert c1 < 1e-6, c1
+
+
+def test_loop_edge_conjugation_zero_residual():
+    """The RANSAC relative pose (T_rel = X_cur X_old^-1, camera frames) must
+    enter the pose graph as Z = X_old^-1 T_rel X_old. With rotations about
+    DIFFERING axes the unconjugated edge leaves a large residual; the
+    conjugated one is ~zero at ground truth (ADVICE round-1, high)."""
+    rng = np.random.default_rng(5)
+    R_old = np.asarray(se3.so3_exp(jnp.asarray(
+        np.float32([0.7, 0.1, -0.3]))), np.float32)
+    t_old = np.float32([1.0, -0.5, 2.0])
+    R_cur = np.asarray(se3.so3_exp(jnp.asarray(
+        np.float32([-0.2, 0.9, 0.4]))), np.float32)
+    t_cur = np.float32([0.3, 1.5, -0.7])
+    # the measurement RANSAC reports: x_cur = R_rel x_old + t_rel
+    R_rel = R_cur @ R_old.T
+    t_rel = t_cur - R_rel @ t_old
+
+    def resid(R_edge, t_edge):
+        g = pose_graph.PoseGraph(
+            R=jnp.asarray(np.stack([R_old, R_cur])),
+            t=jnp.asarray(np.stack([t_old, t_cur])),
+            edge_i=jnp.asarray(np.int32([0])), edge_j=jnp.asarray(np.int32([1])),
+            edge_R=jnp.asarray(R_edge[None]), edge_t=jnp.asarray(t_edge[None]),
+            edge_valid=jnp.ones(1, bool), node_valid=jnp.ones(2, bool))
+        return float(jnp.linalg.norm(pose_graph.edge_residuals(g)))
+
+    # conjugated (the fix, matching models/slam.py try_close_loop)
+    R_edge = R_old.T @ R_rel @ R_old
+    t_edge = R_old.T @ (R_rel @ t_old + t_rel - t_old)
+    assert resid(R_edge.astype(np.float32),
+                 t_edge.astype(np.float32)) < 1e-5
+    # unconjugated (the round-1 bug): residual stays O(1)
+    assert resid(R_rel.astype(np.float32), t_rel.astype(np.float32)) > 0.3

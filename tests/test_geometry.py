@@ -93,3 +93,26 @@ def test_ransac_respects_validity():
         jnp.asarray(valid), iters=64, inlier_threshold=1e-6)
     inl = np.asarray(out["inliers"])
     assert not inl[~valid].any()
+
+
+def test_so3_log_differentiable_at_identity():
+    """JVPs of log must be finite at (and near) the identity: the analytic
+    pose-graph Jacobians autodiff through log exactly where edges are
+    near-converged (residual ~ 0)."""
+    def f(w):
+        return se3.so3_log(se3.so3_exp(w))
+
+    for w0 in (np.zeros(3, np.float32),
+               np.float32([1e-5, -2e-5, 1e-5]),
+               np.float32([0.03, -0.01, 0.02])):
+        J = jax.jacfwd(f)(jnp.asarray(w0))
+        assert np.isfinite(np.asarray(J)).all(), (w0, J)
+        np.testing.assert_allclose(np.asarray(J), np.eye(3),
+                                   atol=3e-3 + 10 * np.abs(w0).max())
+
+    def g(xi):
+        return se3.se3_log(*se3.se3_exp(xi))
+
+    J = jax.jacfwd(g)(jnp.zeros(6))
+    assert np.isfinite(np.asarray(J)).all()
+    np.testing.assert_allclose(np.asarray(J), np.eye(6), atol=1e-4)
