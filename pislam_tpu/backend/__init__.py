@@ -1,1 +1,1 @@
-from . import ba, keyframes, pose_graph, triangulate  # noqa: F401
+from . import ba, keyframes, pnp, pose_graph, triangulate  # noqa: F401

@@ -6,10 +6,14 @@ persistence (demo.cpp:111; SURVEY.md section 5 "checkpoint/resume: none").
 Here the map is a real pytree of fixed-shape arrays (XLA-friendly, orbax-
 checkpointable, shardable across hosts for pod-scale SLAM):
 
-* keyframes: poses + per-keyframe feature block (codes/desc/valid)
+* keyframes: poses + per-keyframe feature block (codes/pts/desc/valid)
 * landmarks: world positions + the descriptor of their anchor observation
+* observations: a flat (keyframe slot, landmark slot, uv) table feeding
+  windowed bundle adjustment
 
-Insertion/eviction are functional slot updates (donated in the jitted driver).
+Insertion/eviction are functional slot updates (donated in the jitted
+driver); models/slam.py builds its entire SLAM state out of these, so a
+running SLAM session is one `utils.checkpoint.save` away from resumable.
 """
 
 from __future__ import annotations
@@ -26,7 +30,9 @@ class KeyframeStore(NamedTuple):
     codes: jax.Array        # (F, K) uint32 packed keypoints
     kp_valid: jax.Array     # (F, K) bool
     descriptors: jax.Array  # (F, K, words) uint32
+    pts: jax.Array          # (F, K, 2) float32 normalised keypoint coords
     frame_id: jax.Array     # (F,) int32 source frame index (-1 = empty)
+    ordinal: jax.Array      # (F,) int32 insertion ordinal (-1 = empty)
     valid: jax.Array        # (F,) bool
 
     @property
@@ -40,6 +46,24 @@ class LandmarkMap(NamedTuple):
     obs_count: jax.Array    # (L,) int32
     valid: jax.Array        # (L,) bool
 
+    @property
+    def capacity(self):
+        return self.xyz.shape[0]
+
+
+class ObservationTable(NamedTuple):
+    """Flat keypoint-observation table: which keyframe saw which landmark
+    where (normalised coords). Fixed capacity O with a validity mask; the
+    BA window assembly selects rows by keyframe ordinal."""
+    kf: jax.Array           # (O,) int32 keyframe SLOT
+    lm: jax.Array           # (O,) int32 landmark SLOT
+    uv: jax.Array           # (O, 2) float32
+    valid: jax.Array        # (O,) bool
+
+    @property
+    def capacity(self):
+        return self.kf.shape[0]
+
 
 def empty_store(capacity: int, max_kp: int, words: int = 8) -> KeyframeStore:
     return KeyframeStore(
@@ -48,7 +72,9 @@ def empty_store(capacity: int, max_kp: int, words: int = 8) -> KeyframeStore:
         codes=jnp.zeros((capacity, max_kp), jnp.uint32),
         kp_valid=jnp.zeros((capacity, max_kp), bool),
         descriptors=jnp.zeros((capacity, max_kp, words), jnp.uint32),
+        pts=jnp.zeros((capacity, max_kp, 2), jnp.float32),
         frame_id=jnp.full((capacity,), -1, jnp.int32),
+        ordinal=jnp.full((capacity,), -1, jnp.int32),
         valid=jnp.zeros((capacity,), bool),
     )
 
@@ -62,15 +88,35 @@ def empty_map(capacity: int, words: int = 8) -> LandmarkMap:
     )
 
 
-def insert_keyframe(store: KeyframeStore, slot, R, t, feats, frame_id):
-    """Functional slot write (slot may be traced). feats: frontend.Features."""
+def empty_obs(capacity: int) -> ObservationTable:
+    return ObservationTable(
+        kf=jnp.zeros((capacity,), jnp.int32),
+        lm=jnp.zeros((capacity,), jnp.int32),
+        uv=jnp.zeros((capacity, 2), jnp.float32),
+        valid=jnp.zeros((capacity,), bool),
+    )
+
+
+def insert_keyframe(store: KeyframeStore, slot, R, t, feats, frame_id,
+                    pts=None, ordinal=None):
+    """Functional slot write (slot may be traced). feats: frontend.Features.
+
+    `pts` (K, 2) are the normalised keypoint coordinates (zeros if omitted);
+    `ordinal` is the insertion ordinal (defaults to frame_id so pure-store
+    users keep a valid ordering)."""
+    if pts is None:
+        pts = jnp.zeros_like(store.pts[0])
+    if ordinal is None:
+        ordinal = frame_id
     return KeyframeStore(
         R=store.R.at[slot].set(R),
         t=store.t.at[slot].set(t),
         codes=store.codes.at[slot].set(feats.codes),
         kp_valid=store.kp_valid.at[slot].set(feats.valid),
         descriptors=store.descriptors.at[slot].set(feats.descriptors),
+        pts=store.pts.at[slot].set(pts),
         frame_id=store.frame_id.at[slot].set(frame_id),
+        ordinal=store.ordinal.at[slot].set(ordinal),
         valid=store.valid.at[slot].set(True),
     )
 
@@ -81,3 +127,76 @@ def next_slot(store: KeyframeStore):
     any_free = ~jnp.all(store.valid)
     oldest = jnp.argmin(jnp.where(store.valid, store.frame_id, 2**31 - 1))
     return jnp.where(any_free, free, oldest)
+
+
+def add_landmarks(lmap: LandmarkMap, obs: ObservationTable,
+                  lm_cursor, obs_cursor,
+                  xyz, desc, mask, slot_a, slot_b, uv_a, uv_b):
+    """Append up to K landmarks (two observations each) functionally.
+
+    xyz (K, 3) world points, desc (K, words) anchor descriptors, mask (K,)
+    selects real entries; slot_a/slot_b are the two observing keyframe
+    slots with normalised coords uv_a/uv_b (K, 2). Entries past capacity
+    are DROPPED (scatter mode='drop'); the returned cursors saturate at
+    capacity so subsequent inserts keep dropping cleanly. Dropping newest
+    (not ring-evicting) keeps every live observation row consistent -- an
+    overwritten landmark slot would orphan its BA observations.
+    """
+    L = lmap.capacity
+    O = obs.capacity
+    k = xyz.shape[0]
+    pos = lm_cursor + jnp.cumsum(mask.astype(jnp.int32)) - 1
+    lm_slot = jnp.where(mask & (pos < L), pos, L)  # L = out of range -> drop
+    new_map = LandmarkMap(
+        xyz=lmap.xyz.at[lm_slot].set(xyz, mode="drop"),
+        descriptors=lmap.descriptors.at[lm_slot].set(desc, mode="drop"),
+        obs_count=lmap.obs_count.at[lm_slot].set(2, mode="drop"),
+        valid=lmap.valid.at[lm_slot].set(True, mode="drop"),
+    )
+    placed = mask & (pos < L)
+    # two observation rows per placed landmark, interleaved [a0, b0, a1, ...]
+    opos = obs_cursor + 2 * (pos - lm_cursor)
+    oa = jnp.where(placed & (opos < O), opos, O)
+    ob = jnp.where(placed & (opos + 1 < O), opos + 1, O)
+    slot_a = jnp.broadcast_to(jnp.int32(slot_a), (k,))
+    slot_b = jnp.broadcast_to(jnp.int32(slot_b), (k,))
+    new_obs = ObservationTable(
+        kf=obs.kf.at[oa].set(slot_a, mode="drop").at[ob].set(
+            slot_b, mode="drop"),
+        lm=obs.lm.at[oa].set(lm_slot, mode="drop").at[ob].set(
+            lm_slot, mode="drop"),
+        uv=obs.uv.at[oa].set(uv_a, mode="drop").at[ob].set(uv_b, mode="drop"),
+        valid=obs.valid.at[oa].set(True, mode="drop").at[ob].set(
+            True, mode="drop"),
+    )
+    n_placed = jnp.sum(placed.astype(jnp.int32))
+    new_lm_cursor = jnp.minimum(lm_cursor + n_placed, L)
+    new_obs_cursor = jnp.minimum(obs_cursor + 2 * n_placed, O)
+    return new_map, new_obs, new_lm_cursor, new_obs_cursor
+
+
+def add_observations(lmap: LandmarkMap, obs: ObservationTable, obs_cursor,
+                     kf_slot, lm_slot, uv, mask):
+    """Append observation rows of EXISTING landmarks (data association).
+
+    lm_slot (K,) landmark slots, uv (K, 2) normalised coords seen from
+    keyframe `kf_slot`, mask (K,) selects real rows. Increments the
+    landmarks' obs_count. Rows past capacity are dropped (cursor saturates).
+    """
+    O = obs.capacity
+    k = lm_slot.shape[0]
+    pos = obs_cursor + jnp.cumsum(mask.astype(jnp.int32)) - 1
+    row = jnp.where(mask & (pos < O), pos, O)
+    kf_slot = jnp.broadcast_to(jnp.int32(kf_slot), (k,))
+    new_obs = ObservationTable(
+        kf=obs.kf.at[row].set(kf_slot, mode="drop"),
+        lm=obs.lm.at[row].set(lm_slot, mode="drop"),
+        uv=obs.uv.at[row].set(uv, mode="drop"),
+        valid=obs.valid.at[row].set(True, mode="drop"),
+    )
+    placed = mask & (pos < O)
+    counted = jnp.where(placed, lm_slot, lmap.capacity)
+    new_map = lmap._replace(
+        obs_count=lmap.obs_count.at[counted].add(1, mode="drop"))
+    n_placed = jnp.sum(placed.astype(jnp.int32))
+    return new_map, new_obs, jnp.minimum(obs_cursor + n_placed, O)

@@ -146,6 +146,27 @@ class BAConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Device-side SLAM map (backend/keyframes.py pytree stores).
+
+    The reference has no map at all (frontend-only, README.md:22); these
+    capacities bound the fixed-shape keyframe/landmark/observation arrays.
+    ``keyframe_capacity`` keyframes are kept in a ring (oldest evicted);
+    landmarks/observations past capacity are dropped newest-first."""
+
+    keyframe_capacity: int = 64
+    max_landmarks: int = 8192
+    max_obs: int = 16384
+    # motion-only BA of each frame against matched map landmarks
+    # (ORB-SLAM-style local-map tracking; resolves monocular scale drift)
+    track_map: bool = True
+    map_match_max_distance: int = 48
+    min_map_inliers: int = 25
+    pnp_iters: int = 8
+    pnp_inlier_threshold: float = 6e-3
+
+
+@dataclasses.dataclass(frozen=True)
 class MeshConfig:
     """Device mesh for multi-chip scaling (data axis = frames, model axis =
     map shards). The reference has no distributed layer (SURVEY.md section 2);
@@ -164,6 +185,7 @@ class PislamConfig:
     matcher: MatcherConfig = dataclasses.field(default_factory=MatcherConfig)
     vo: VOConfig = dataclasses.field(default_factory=VOConfig)
     ba: BAConfig = dataclasses.field(default_factory=BAConfig)
+    map: MapConfig = dataclasses.field(default_factory=MapConfig)
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
 
     def to_json(self) -> str:
@@ -178,5 +200,6 @@ class PislamConfig:
             matcher=MatcherConfig(**d.get("matcher", {})),
             vo=VOConfig(**d.get("vo", {})),
             ba=BAConfig(**d.get("ba", {})),
+            map=MapConfig(**d.get("map", {})),
             mesh=MeshConfig(**d.get("mesh", {})),
         )

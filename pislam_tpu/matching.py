@@ -107,6 +107,50 @@ def match(desc1, desc2, valid1, valid2, max_distance: int = 64,
     return jnp.where(ok, idx2, -1), jnp.where(ok, best, MAX_DIST)
 
 
+@partial(jax.jit, static_argnames=("max_distance", "cross_check"))
+def match_many(descs, valids, desc2, valid2, max_distance: int = 64,
+               ratio: float = 0.8, cross_check: bool = True):
+    """Match a whole keyframe store against one query frame in ONE dispatch.
+
+    descs (F, K1, words), valids (F, K1): the stored keyframes' descriptor
+    blocks; desc2/valid2 (K2, words)/(K2,): the query. Returns
+    (idx2 (F, K1) int32 with -1 unmatched, counts (F,) int32) with identical
+    per-keyframe semantics to `match` (threshold + ratio + cross-check).
+
+    This is the batched loop-closure/relocalisation primitive: the round-1
+    implementation issued one jitted dispatch + one ~30 ms host readback per
+    stored keyframe (ADVICE round-1); here the (F*K1, K2) distance matrix is
+    one i8 MXU matmul and the host reads back a single (F,) count vector.
+    """
+    f, k1, words = descs.shape
+    nbits = words * 32
+    a = expand_pm1(descs.reshape(f * k1, words))
+    b = expand_pm1(desc2)
+    dot = jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    dist = ((nbits - dot) >> 1).reshape(f, k1, -1)
+    dist = jnp.where(valids[:, :, None], dist, MAX_DIST)
+    dist = jnp.where(valid2[None, None, :], dist, MAX_DIST)
+
+    best_idx = jnp.argmin(dist, axis=2)
+    best = jnp.min(dist, axis=2)
+    cols = jnp.arange(dist.shape[2], dtype=best_idx.dtype)
+    masked = jnp.where(cols[None, None, :] == best_idx[:, :, None],
+                       MAX_DIST, dist)
+    second = jnp.min(masked, axis=2)
+    ok = best <= max_distance
+    ok &= best.astype(jnp.float32) < ratio * second.astype(jnp.float32)
+    if cross_check:
+        col_best = jnp.argmin(dist, axis=1)  # (F, K2)
+        ok &= jnp.take_along_axis(col_best, best_idx, axis=1) \
+            == jnp.arange(k1)[None, :]
+    ok &= valids
+    idx2 = jnp.where(ok, best_idx, -1)
+    counts = jnp.sum(ok.astype(jnp.int32), axis=1)
+    return idx2, counts
+
+
 def match_features(f1, f2, cfg):
     """Convenience wrapper over Features pairs (frontend.Features)."""
     return match(

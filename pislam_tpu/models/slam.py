@@ -1,259 +1,441 @@
-"""Keyframe SLAM: tracking + local map + windowed BA (BASELINE.json configs[3]).
+"""Keyframe SLAM: map tracking + windowed BA over a checkpointable pytree map.
 
 Architecture (grown from the reference's frontend-only scope, README.md:22,
 per the north star):
 
+* state: the ENTIRE map lives in fixed-shape device arrays
+  (backend/keyframes.py: KeyframeStore + LandmarkMap + ObservationTable
+  packaged as SlamState). One `utils.checkpoint.save` away from resumable;
+  a fresh KeyframeSLAM restores it and continues/relocalises.
 * tracking: every frame is matched (Hamming, MXU) against the last keyframe
-  and localised with RANSAC essential + cheirality (geometry/).
-* mapping: when tracking weakens (few inliers) or the baseline grows, the
-  frame is promoted to a keyframe; inlier matches against the previous
-  keyframe are triangulated into landmarks (backend/triangulate.py).
-* local BA: the sliding window of the last `window` keyframes, their
-  landmarks and observations is refined with Schur-complement bundle
-  adjustment (backend/ba.py) -- fixed-capacity masked arrays throughout, so
-  the BA step is one compiled program reused every keyframe.
-* loop closure: match_keyframe() detects revisits against the keyframe
-  store, try_close_loop() adds the relative-pose edge and runs pose-graph GN
-  over the trajectory (backend/pose_graph.py); relocalise() recovers the
-  pose of a kidnapped frame from the map.
+  and localised with RANSAC essential + cheirality (geometry/); when the map
+  has landmarks the pose is then refined by motion-only BA against matched
+  map points (backend/pnp.py) -- ORB-SLAM-style local-map tracking, which
+  also pins the monocular scale to the map.
+* mapping: when tracking weakens or the keyframe gap is reached, the frame
+  is promoted to a keyframe: one jitted insert step writes the keyframe
+  slot, triangulates inlier matches (backend/triangulate.py) and appends
+  landmarks + observation rows functionally.
+* local BA: the sliding window of the last `window` keyframes with their
+  observation rows is refined with Schur-complement bundle adjustment
+  (backend/ba.py).
+* loop closure: the WHOLE keyframe store is matched against the query in a
+  single MXU dispatch (matching.match_many: one (F*K, K2) i8 matmul + one
+  (F,) count readback -- the round-1 version cost one dispatch + ~30 ms
+  readback per stored keyframe). try_close_loop() conjugates the RANSAC
+  relative pose into the pose-graph edge frame and runs pose-graph GN
+  (backend/pose_graph.py); relocalise() recovers a kidnapped frame.
 
 Host-side Python only orchestrates keyframe decisions (small scalar reads);
 all heavy stages are jitted device programs. The image frontend is swappable
-(`features_fn`) so tests can drive the full tracking+mapping+BA stack from a
-synthetic projector with known ground truth.
+(`features_fn`) so tests can drive the full stack from a synthetic projector
+with known ground truth.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import List
+from functools import partial
+from typing import NamedTuple, Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from .. import matching
-from ..backend import ba, pose_graph, triangulate
+from ..backend import ba, keyframes as kfs, pnp, pose_graph, triangulate
 from ..config import PislamConfig
+from ..frontend import Features
 from ..geometry import ransac, se3
+from ..utils import checkpoint as ckpt
 from .visual_odometry import VisualOdometry, normalise_points
 
 
+class SlamState(NamedTuple):
+    """The full SLAM session state: a pytree of fixed-shape arrays."""
+    store: kfs.KeyframeStore
+    lmap: kfs.LandmarkMap
+    obs: kfs.ObservationTable
+    # [num_keyframes, lm_cursor, obs_cursor, frame_idx, since_kf]
+    counters: jax.Array  # (5,) int32
+    key: jax.Array       # PRNG key for RANSAC
+
+
 @dataclasses.dataclass
-class Keyframe:
-    index: int       # keyframe ordinal
+class KeyframeView:
+    """Lightweight host view of one stored keyframe (compat/introspection)."""
+    index: int       # insertion ordinal
     frame: int       # source frame number
+    slot: int        # store slot
     R: np.ndarray
     t: np.ndarray
-    feats: object    # frontend.Features
-    pts: np.ndarray  # (K, 2) normalised
+
+
+def init_state(cfg: PislamConfig, seed: int = 7) -> SlamState:
+    mc, fc = cfg.map, cfg.frontend
+    return SlamState(
+        store=kfs.empty_store(mc.keyframe_capacity, fc.max_keypoints,
+                              fc.words),
+        lmap=kfs.empty_map(mc.max_landmarks, fc.words),
+        obs=kfs.empty_obs(mc.max_obs),
+        counters=jnp.zeros(5, jnp.int32),
+        key=jax.random.PRNGKey(seed),
+    )
 
 
 class KeyframeSLAM:
     def __init__(self, cfg: PislamConfig, fx, fy, cx, cy, features_fn=None,
-                 keyframe_min_inliers: int = 60, keyframe_max_gap: int = 10):
+                 keyframe_min_inliers: int = 60, keyframe_max_gap: int = 10,
+                 seed: int = 7):
         self.cfg = cfg
         self.vo = VisualOdometry(cfg, fx, fy, cx, cy, features_fn=features_fn)
         self.keyframe_min_inliers = keyframe_min_inliers
         self.keyframe_max_gap = keyframe_max_gap
+        self.capacity = cfg.map.keyframe_capacity
+        assert self.capacity >= cfg.ba.window, \
+            "keyframe ring must hold at least one BA window"
 
-        self.keyframes: List[Keyframe] = []
-        self.trajectory: List[np.ndarray] = []  # camera positions per frame
-        self.landmarks: List[np.ndarray] = []   # per-keyframe-pair batches
+        self._st = init_state(cfg, seed)
+        # host mirrors of the counters (authoritative during a run; synced
+        # from the device state by set_state / restore)
+        self._num_kf = 0
+        self._num_lm = 0
+        self._num_obs = 0
         self._frame_idx = 0
         self._since_kf = 0
-        self._key = jax.random.PRNGKey(7)
+        self.trajectory = []  # camera positions per processed frame (host)
+        # cached device rows of the last keyframe (tracking reference)
+        self._last: Optional[dict] = None
 
         self._match = jax.jit(lambda d1, d2, v1, v2: matching.match(
             d1, d2, v1, v2, max_distance=cfg.matcher.max_distance,
             ratio=cfg.matcher.ratio, cross_check=cfg.matcher.cross_check))
+        self._store_counts = jax.jit(
+            lambda store, feats: matching.match_many(
+                store.descriptors, store.kp_valid,
+                feats.descriptors, feats.valid,
+                max_distance=cfg.matcher.max_distance,
+                ratio=cfg.matcher.ratio,
+                cross_check=cfg.matcher.cross_check)[1])
+        self._insert = self._build_insert()
+        self._track_map = self._build_track_map()
 
-    # -- internal ----------------------------------------------------------
+    # -- state / checkpointing ----------------------------------------------
+
+    @property
+    def state(self) -> SlamState:
+        c = np.int32([self._num_kf, self._num_lm, self._num_obs,
+                      self._frame_idx, self._since_kf])
+        return self._st._replace(counters=jnp.asarray(c))
+
+    def set_state(self, state: SlamState):
+        """Adopt a SlamState (e.g. restored from a checkpoint)."""
+        self._st = state
+        c = np.asarray(state.counters)
+        self._num_kf, self._num_lm, self._num_obs = int(c[0]), int(c[1]), \
+            int(c[2])
+        self._frame_idx, self._since_kf = int(c[3]), int(c[4])
+        if self._num_kf > 0:
+            self._cache_last((self._num_kf - 1) % self.capacity)
+        else:
+            self._last = None
+
+    def save_checkpoint(self, path: str):
+        ckpt.save(path, self.state)
+
+    def restore_checkpoint(self, path: str):
+        like = init_state(self.cfg)
+        self.set_state(ckpt.restore(path, like=like))
+
+    def _cache_last(self, slot: int):
+        st = self._st.store
+        self._last = {
+            "slot": slot,
+            "desc": st.descriptors[slot], "valid": st.kp_valid[slot],
+            "pts": st.pts[slot],
+            "R": np.asarray(st.R[slot]), "t": np.asarray(st.t[slot]),
+        }
+
+    # -- jitted pieces ------------------------------------------------------
+
+    def _build_insert(self):
+        cap = self.capacity
+
+        @jax.jit
+        def insert(st: SlamState, feats: Features, pts, R, t, idx2, inliers,
+                   prev_slot, map_idx):
+            num_kf = st.counters[0]
+            frame_id = st.counters[3]
+            slot = jnp.mod(num_kf, cap)
+            # ring eviction: observation rows of the overwritten keyframe
+            # would otherwise feed BA with a stale pose
+            evict = num_kf >= cap
+            obs = st.obs._replace(
+                valid=st.obs.valid & ~(evict & (st.obs.kf == slot)))
+            prev_R, prev_t = st.store.R[prev_slot], st.store.t[prev_slot]
+            p1 = st.store.pts[prev_slot]
+            prev_kp_valid = st.store.kp_valid[prev_slot]
+            store = kfs.insert_keyframe(st.store, slot, R, t, feats, frame_id,
+                                        pts=pts, ordinal=num_kf)
+            # triangulate inlier matches prev_kf -> new_kf into landmarks
+            idx2c = jnp.clip(idx2, 0)
+            p2 = pts[idx2c]
+            X = triangulate.triangulate_two_view(prev_R, prev_t, R, t, p1, p2)
+            z1 = (X @ prev_R.T + prev_t)[:, 2]
+            z2 = (X @ R.T + t)[:, 2]
+            mask = (inliers & (idx2 >= 0) & prev_kp_valid
+                    & feats.valid[idx2c] & (z1 > 1e-4) & (z2 > 1e-4)
+                    & jnp.all(jnp.isfinite(X), axis=1))
+            # data association: current features already matched to a map
+            # landmark (map_idx from this frame's map tracking) must NOT be
+            # re-triangulated -- a duplicate landmark with an identical
+            # descriptor would make the Lowe ratio test kill every future
+            # map match of that point. They get an observation row instead.
+            matched_lm = map_idx[idx2c]           # (K,) lm slot or -1
+            exist = mask & (matched_lm >= 0)
+            new = mask & (matched_lm < 0)
+            desc_anchor = feats.descriptors[idx2c]
+            lmap, obs, lm_cur, obs_cur = kfs.add_landmarks(
+                st.lmap, obs, st.counters[1], st.counters[2],
+                X, desc_anchor, new, prev_slot, slot, p1, p2)
+            lmap, obs, obs_cur = kfs.add_observations(
+                lmap, obs, obs_cur, slot, jnp.clip(matched_lm, 0), p2, exist)
+            counters = jnp.stack([
+                num_kf + 1, lm_cur, obs_cur, st.counters[3], st.counters[4],
+            ]).astype(jnp.int32)
+            return SlamState(store, lmap, obs, counters, st.key)
+
+        return insert
+
+    def _build_track_map(self):
+        cfg = self.cfg
+        mc = cfg.map
+
+        @jax.jit
+        def track(lmap: kfs.LandmarkMap, feats: Features, pts, R0, t0):
+            idx, _ = matching.match(
+                feats.descriptors, lmap.descriptors, feats.valid, lmap.valid,
+                max_distance=mc.map_match_max_distance,
+                ratio=cfg.matcher.ratio, cross_check=True)
+            ok = idx >= 0
+            xyz = lmap.xyz[jnp.clip(idx, 0)]
+            out = pnp.motion_only_ba(
+                R0, t0, xyz, pts, ok, iters=mc.pnp_iters,
+                inlier_threshold=mc.pnp_inlier_threshold)
+            # only reprojection-inlier associations feed data association
+            assoc = jnp.where(out["inliers"], idx, -1)
+            return out["R"], out["t"], out["num_inliers"], assoc
+
+        return track
+
+    # -- internal -----------------------------------------------------------
 
     def _features(self, frame):
         feats = self.vo.extract(frame)
         pts = normalise_points(
             feats, self.vo.fx, self.vo.fy, self.vo.cx, self.vo.cy,
             self.vo.level_rows, self.vo.level_scales)
-        return feats, np.asarray(pts)
+        return feats, pts
 
-    def _localise(self, kf: Keyframe, feats, pts):
-        idx2, _ = self._match(kf.feats.descriptors, feats.descriptors,
-                              kf.feats.valid, feats.valid)
-        idx2 = np.asarray(idx2)
+    def _localise_against(self, desc, valid, ref_pts, feats, pts):
+        """RANSAC essential pose of `feats` vs a reference feature block."""
+        idx2, _ = self._match(desc, feats.descriptors, valid, feats.valid)
         ok = idx2 >= 0
-        p1 = jnp.asarray(kf.pts)
-        p2 = jnp.asarray(pts[np.clip(idx2, 0, None)])
-        self._key, sub = jax.random.split(self._key)
+        p2 = pts[jnp.clip(idx2, 0)]
+        key, sub = jax.random.split(self._st.key)
+        self._st = self._st._replace(key=key)
         out = ransac.ransac_essential(
-            sub, p1, p2, jnp.asarray(ok),
+            sub, ref_pts, p2, ok,
             iters=self.cfg.vo.ransac_iters,
             inlier_threshold=self.cfg.vo.inlier_threshold)
         return out, idx2
 
-    # -- public ------------------------------------------------------------
+    def _slot_rows(self, slot: int):
+        st = self._st.store
+        return (st.descriptors[slot], st.kp_valid[slot], st.pts[slot],
+                np.asarray(st.R[slot]), np.asarray(st.t[slot]))
+
+    # -- public -------------------------------------------------------------
 
     def process(self, frame):
         """Track one frame; returns dict with pose + bookkeeping."""
         feats, pts = self._features(frame)
-        self._frame_idx += 1
 
-        if not self.keyframes:
-            kf = Keyframe(0, self._frame_idx - 1, np.eye(3, dtype=np.float32),
-                          np.zeros(3, np.float32), feats, pts)
-            self.keyframes.append(kf)
+        if self._num_kf == 0:
+            R = np.eye(3, dtype=np.float32)
+            t = np.zeros(3, np.float32)
+            self._insert_keyframe(feats, pts, R, t,
+                                  jnp.zeros(pts.shape[0], jnp.int32) - 1,
+                                  jnp.zeros(pts.shape[0], bool), 0)
+            self._frame_idx += 1  # AFTER insert: counters[3] is the frame id
             self.trajectory.append(np.zeros(3))
-            return {"pose_R": kf.R, "pose_t": kf.t, "keyframe": True,
-                    "num_inliers": 0}
+            return {"pose_R": R, "pose_t": t, "keyframe": True,
+                    "num_inliers": 0, "map_inliers": 0}
 
-        kf = self.keyframes[-1]
-        out, idx2 = self._localise(kf, feats, pts)
+        last = self._last
+        out, idx2 = self._localise_against(
+            last["desc"], last["valid"], last["pts"], feats, pts)
         n_inl = int(out["num_inliers"])
         Rrel = np.asarray(out["R"])
         trel = np.asarray(out["t"])
         trel = trel / max(np.linalg.norm(trel), 1e-9)
 
-        R = Rrel @ kf.R
-        t = Rrel @ kf.t + trel
-        self.trajectory.append(-R.T @ t)
+        R = Rrel @ last["R"]
+        t = Rrel @ last["t"] + trel
+
+        n_map = 0
+        map_idx = jnp.full(pts.shape[0], -1, jnp.int32)
+        if self.cfg.map.track_map and self._num_lm > 0:
+            Rm, tm, n_map_d, assoc = self._track_map(
+                self._st.lmap, feats, pts, jnp.asarray(R), jnp.asarray(t))
+            n_map = int(n_map_d)
+            if n_map >= self.cfg.map.min_map_inliers:
+                R, t = np.asarray(Rm), np.asarray(tm)
+                map_idx = assoc
+
         self._since_kf += 1
+        self.trajectory.append(-R.T @ t)
 
         make_kf = (n_inl < self.keyframe_min_inliers
                    or self._since_kf >= self.keyframe_max_gap)
         if make_kf and n_inl >= self.cfg.vo.min_inliers:
-            self._insert_keyframe(feats, pts, R, t, out, idx2, kf)
+            self._insert_keyframe(feats, pts, R.astype(np.float32),
+                                  t.astype(np.float32), idx2,
+                                  out["inliers"], last["slot"], map_idx)
             self._since_kf = 0
+        self._frame_idx += 1  # AFTER insert: counters[3] is the frame id
 
         return {"pose_R": R, "pose_t": t, "keyframe": make_kf,
-                "num_inliers": n_inl}
+                "num_inliers": n_inl, "map_inliers": n_map}
 
-    def _insert_keyframe(self, feats, pts, R, t, ransac_out, idx2, prev_kf):
-        new_kf = Keyframe(len(self.keyframes), self._frame_idx - 1,
-                          R.astype(np.float32), t.astype(np.float32),
-                          feats, pts)
-        # triangulate inlier matches between prev_kf and new_kf
-        inl = np.asarray(ransac_out["inliers"])
-        sel = np.where(inl & (idx2 >= 0))[0]
-        if len(sel):
-            p1 = prev_kf.pts[sel]
-            p2 = new_kf.pts[idx2[sel]]
-            X = np.array(triangulate.triangulate_two_view(
-                jnp.asarray(prev_kf.R), jnp.asarray(prev_kf.t),
-                jnp.asarray(new_kf.R), jnp.asarray(new_kf.t),
-                jnp.asarray(p1), jnp.asarray(p2)))
-            self.landmarks.append({
-                "xyz": X, "kf_a": prev_kf.index, "kf_b": new_kf.index,
-                "uv_a": p1, "uv_b": p2})
-        self.keyframes.append(new_kf)
-        self._local_ba()
+    def _insert_keyframe(self, feats, pts, R, t, idx2, inliers, prev_slot,
+                         map_idx=None):
+        st = self.state  # sync counters into the device state
+        if map_idx is None:
+            map_idx = jnp.full(pts.shape[0], -1, jnp.int32)
+        self._st = self._insert(st, feats, pts, jnp.asarray(R),
+                                jnp.asarray(t), idx2, inliers,
+                                prev_slot, map_idx)
+        c = np.asarray(self._st.counters)
+        self._num_kf, self._num_lm, self._num_obs = int(c[0]), int(c[1]), \
+            int(c[2])
+        self._cache_last((self._num_kf - 1) % self.capacity)
+        if self._num_kf >= 2:
+            self._local_ba()
 
-    def _assemble_window(self):
-        """Pack the sliding window into a fixed-shape BAProblem."""
+    # -- bundle adjustment --------------------------------------------------
+
+    def _window(self):
+        """(ordinals, slots) of the current BA window, oldest first."""
+        w = min(self.cfg.ba.window, self._num_kf)
+        base = self._num_kf - w
+        ordinals = list(range(base, self._num_kf))
+        return ordinals, [o % self.capacity for o in ordinals]
+
+    def _local_ba(self):
         bc = self.cfg.ba
-        w = min(bc.window, len(self.keyframes))
-        kfs = self.keyframes[-w:]
-        base = kfs[0].index
-        idx_of = {kf.index: i for i, kf in enumerate(kfs)}
+        ordinals, slots = self._window()
+        if len(ordinals) < 2 or self._num_obs == 0:
+            return
+        base = ordinals[0]
+        st = self._st
+        # one host readback of the observation tables (per keyframe, not
+        # per frame)
+        obs_kf = np.asarray(st.obs.kf)
+        obs_lm = np.asarray(st.obs.lm)
+        obs_uv = np.asarray(st.obs.uv)
+        obs_valid = np.asarray(st.obs.valid)
+        kf_ordinal = np.asarray(st.store.ordinal)
 
-        pts, cams, lpts, uvs = [], [], [], []
-        for batch in self.landmarks:
-            if batch["kf_a"] < base:
-                continue
-            k = len(batch["xyz"])
-            start = len(pts)
-            pts.extend(batch["xyz"])
-            for j in range(k):
-                cams.append(idx_of[batch["kf_a"]]); lpts.append(start + j)
-                uvs.append(batch["uv_a"][j])
-                cams.append(idx_of[batch["kf_b"]]); lpts.append(start + j)
-                uvs.append(batch["uv_b"][j])
+        ords_of_obs = kf_ordinal[obs_kf]
+        sel = obs_valid & (ords_of_obs >= base)
+        sel_idx = np.where(sel)[0]
+        if len(sel_idx) == 0:
+            return
+        lm_slots = np.unique(obs_lm[sel_idx])[:bc.max_points]
+        # local point index of each selected row (sorted-unique -> searchsorted)
+        pos = np.searchsorted(lm_slots, obs_lm[sel_idx])
+        in_window = (pos < len(lm_slots)) & \
+            (lm_slots[np.minimum(pos, len(lm_slots) - 1)] == obs_lm[sel_idx])
+        rows = sel_idx[in_window][:bc.max_obs]
+        if len(rows) == 0:
+            return
 
-        P_, O = bc.max_points, bc.max_obs
-        npts, nobs = min(len(pts), P_), min(len(uvs), O)
-        points = np.zeros((P_, 3), np.float32)
-        if npts:
-            points[:npts] = np.asarray(pts[:npts], np.float32)
+        O, P_, C = bc.max_obs, bc.max_points, bc.window
         obs_cam = np.zeros(O, np.int32)
         obs_pt = np.zeros(O, np.int32)
-        obs_uv = np.zeros((O, 2), np.float32)
-        obs_valid = np.zeros(O, bool)
-        kept = [i for i in range(nobs) if lpts[i] < npts]
-        for oi, i in enumerate(kept):
-            obs_cam[oi] = cams[i]
-            obs_pt[oi] = lpts[i]
-            obs_uv[oi] = uvs[i]
-            obs_valid[oi] = True
+        uv = np.zeros((O, 2), np.float32)
+        ov = np.zeros(O, bool)
+        nr = len(rows)
+        obs_cam[:nr] = ords_of_obs[rows] - base
+        obs_pt[:nr] = np.searchsorted(lm_slots, obs_lm[rows])
+        uv[:nr] = obs_uv[rows]
+        ov[:nr] = True
 
-        C = bc.window
+        Rw = np.asarray(st.store.R[np.asarray(slots)])
+        tw = np.asarray(st.store.t[np.asarray(slots)])
         Rs = np.broadcast_to(np.eye(3, dtype=np.float32), (C, 3, 3)).copy()
         ts = np.zeros((C, 3), np.float32)
         cam_valid = np.zeros(C, bool)
-        for i, kf in enumerate(kfs):
-            Rs[i], ts[i], cam_valid[i] = kf.R, kf.t, True
+        Rs[:len(slots)], ts[:len(slots)] = Rw, tw
+        cam_valid[:len(slots)] = True
+
+        Xw = np.asarray(st.lmap.xyz[jnp.asarray(lm_slots)])
+        points = np.zeros((P_, 3), np.float32)
+        points[:len(lm_slots)] = Xw
         pt_valid = np.zeros(P_, bool)
-        pt_valid[:npts] = True
+        pt_valid[:len(lm_slots)] = True
 
         prob = ba.BAProblem(
             R=jnp.asarray(Rs), t=jnp.asarray(ts), points=jnp.asarray(points),
             obs_cam=jnp.asarray(obs_cam), obs_pt=jnp.asarray(obs_pt),
-            obs_uv=jnp.asarray(obs_uv), obs_valid=jnp.asarray(obs_valid),
-            cam_valid=jnp.asarray(cam_valid), pt_valid=jnp.asarray(pt_valid),
-        )
-        return prob, kfs, npts
+            obs_uv=jnp.asarray(uv), obs_valid=jnp.asarray(ov),
+            cam_valid=jnp.asarray(cam_valid), pt_valid=jnp.asarray(pt_valid))
+        out, _ = ba.bundle_adjust(prob, iters=bc.gn_iters,
+                                  damping=bc.damping)
 
-    def _local_ba(self):
-        prob, kfs, npts = self._assemble_window()
-        if npts == 0 or len(kfs) < 2:
-            return
-        out, _ = ba.bundle_adjust(prob, iters=self.cfg.ba.gn_iters,
-                                  damping=self.cfg.ba.damping)
-        Rn, tn = np.asarray(out.R), np.asarray(out.t)
-        for i, kf in enumerate(kfs):
-            kf.R, kf.t = Rn[i], tn[i]
-        # write refined landmark positions back into their batches
-        Xn = np.asarray(out.points)
-        base = kfs[0].index
-        pos = 0
-        for batch in self.landmarks:
-            if batch["kf_a"] < base:
-                continue
-            k = len(batch["xyz"])
-            take = min(k, max(0, npts - pos))
-            if take > 0:
-                batch["xyz"][:take] = Xn[pos:pos + take]
-            pos += k
+        sl = jnp.asarray(np.int32(slots))
+        store = st.store._replace(
+            R=st.store.R.at[sl].set(out.R[:len(slots)]),
+            t=st.store.t.at[sl].set(out.t[:len(slots)]))
+        lmap = st.lmap._replace(
+            xyz=st.lmap.xyz.at[jnp.asarray(lm_slots)].set(
+                out.points[:len(lm_slots)]))
+        self._st = st._replace(store=store, lmap=lmap)
+        self._cache_last((self._num_kf - 1) % self.capacity)
 
     # -- loop closure / relocalisation --------------------------------------
 
     def match_keyframe(self, feats, pts, exclude_recent: int = 0,
                        min_matches: int = 30):
-        """Match features against every stored keyframe; localise vs the best.
+        """Match features against the ENTIRE keyframe store in one dispatch;
+        localise against the best-supported keyframe.
 
-        Returns (kf_index, R_rel, t_rel_unit, num_inliers) where the relative
-        pose maps the matched keyframe's camera to the query camera
+        Returns (kf_ordinal, R_rel, t_rel_unit, num_inliers) where the
+        relative pose maps the matched keyframe's camera to the query camera
         (translation up to monocular scale), or (-1, None, None, 0) when no
-        keyframe reaches `min_matches` RANSAC-verified correspondences.
-        Keyframes newer than `len - exclude_recent` are skipped (loop
+        keyframe reaches `min_matches` filtered correspondences. Keyframes
+        with ordinal >= num_keyframes - exclude_recent are skipped (loop
         detection must not fire on the immediate past).
         """
-        n = len(self.keyframes) - exclude_recent
-        if n <= 0:
+        if self._num_kf - exclude_recent <= 0:
             return -1, None, None, 0
-        counts = []
-        for kf in self.keyframes[:n]:
-            idx2, _ = self._match(kf.feats.descriptors, feats.descriptors,
-                                  kf.feats.valid, feats.valid)
-            counts.append(int(np.sum(np.asarray(idx2) >= 0)))
-        best = int(np.argmax(counts))
-        if counts[best] < min_matches:
+        counts = np.asarray(self._store_counts(self._st.store, feats))
+        ordinal = np.asarray(self._st.store.ordinal)
+        valid = np.asarray(self._st.store.valid)
+        eligible = valid & (ordinal < self._num_kf - exclude_recent)
+        counts = np.where(eligible, counts, -1)
+        best_slot = int(np.argmax(counts))
+        if counts[best_slot] < min_matches:
             return -1, None, None, 0
-        out, _ = self._localise(self.keyframes[best], feats, pts)
+        desc, kvalid, ref_pts, _R, _t = self._slot_rows(best_slot)
+        out, _ = self._localise_against(desc, kvalid, ref_pts, feats, pts)
         n_inl = int(out["num_inliers"])
         if n_inl < max(self.cfg.vo.min_inliers, min_matches // 2):
             return -1, None, None, 0
         t = np.asarray(out["t"])
         t = t / max(np.linalg.norm(t), 1e-9)
-        return best, np.asarray(out["R"]), t, n_inl
+        return int(ordinal[best_slot]), np.asarray(out["R"]), t, n_inl
 
     def try_close_loop(self, min_matches: int = 40, exclude_recent: int = 3):
         """Detect a loop for the newest keyframe and optimise the pose graph.
@@ -261,20 +443,26 @@ class KeyframeSLAM:
         The loop edge's translation is monocular (unit norm); its scale is
         set from the current pose estimates of the two keyframes, so the
         edge corrects drift in direction/rotation rather than scale.
-        Returns the matched keyframe index, or -1 if no loop was found.
+        Returns the matched keyframe ordinal, or -1 if no loop was found.
         """
-        if len(self.keyframes) < exclude_recent + 2:
+        if self._num_kf < exclude_recent + 2:
             return -1
-        cur = self.keyframes[-1]
+        cur_slot = (self._num_kf - 1) % self.capacity
+        desc, kvalid, pts, R_cur, t_cur = self._slot_rows(cur_slot)
+        feats_like = Features(
+            codes=self._st.store.codes[cur_slot], valid=kvalid,
+            angles=jnp.zeros(kvalid.shape[0], jnp.uint8), descriptors=desc)
         idx, R_rel, t_unit, _ = self.match_keyframe(
-            cur.feats, cur.pts, exclude_recent=exclude_recent,
+            feats_like, pts, exclude_recent=exclude_recent,
             min_matches=min_matches)
         if idx < 0:
             return -1
-        old = self.keyframes[idx]
+        old_slot = idx % self.capacity
+        R_old = np.asarray(self._st.store.R[old_slot])
+        t_old = np.asarray(self._st.store.t[old_slot])
         # current-estimate baseline length sets the edge scale
-        c_old = -old.R.T @ old.t
-        c_cur = -cur.R.T @ cur.t
+        c_old = -R_old.T @ t_old
+        c_cur = -R_cur.T @ t_cur
         scale = float(np.linalg.norm(c_cur - c_old))
         # RANSAC measures T_rel with x_cur = R_rel x_old + t_rel, i.e.
         # T_rel = X_cur X_old^-1 (camera-frame relative). The pose-graph edge
@@ -284,10 +472,10 @@ class KeyframeSLAM:
         # (verified: perfect measurements left residual ~0.5 for
         # non-commuting rotations).
         t_rel = t_unit * scale
-        R_edge = old.R.T @ R_rel @ old.R
-        t_edge = old.R.T @ (R_rel @ old.t + t_rel - old.t)
+        R_edge = R_old.T @ R_rel @ R_old
+        t_edge = R_old.T @ (R_rel @ t_old + t_rel - t_old)
         self.optimise_pose_graph(
-            loop_edges=[(old.index, cur.index, R_edge, t_edge)])
+            loop_edges=[(idx, self._num_kf - 1, R_edge, t_edge)])
         return idx
 
     def relocalise(self, frame, min_matches: int = 30):
@@ -295,52 +483,103 @@ class KeyframeSLAM:
 
         Returns (R, t) world->camera, or None if no keyframe matches. The
         translation inherits the map's scale via the matched keyframe's
-        stored pose plus a unit-norm relative offset (exact up to the
-        monocular scale of that offset).
+        stored pose plus a unit-norm relative offset; when the landmark map
+        is populated the pose is additionally refined by motion-only BA
+        against it (exact map-scale translation).
         """
         feats, pts = self._features(frame)
         idx, R_rel, t_unit, _ = self.match_keyframe(
             feats, pts, min_matches=min_matches)
         if idx < 0:
             return None
-        kf = self.keyframes[idx]
-        R = R_rel @ kf.R
-        t = R_rel @ kf.t + t_unit
+        slot = idx % self.capacity
+        R_kf = np.asarray(self._st.store.R[slot])
+        t_kf = np.asarray(self._st.store.t[slot])
+        R = R_rel @ R_kf
+        t = R_rel @ t_kf + t_unit
+        if self.cfg.map.track_map and self._num_lm > 0:
+            Rm, tm, n_map, _ = self._track_map(
+                self._st.lmap, feats, pts, jnp.asarray(R), jnp.asarray(t))
+            if int(n_map) >= self.cfg.map.min_map_inliers:
+                R, t = np.asarray(Rm), np.asarray(tm)
         return R, t
 
     def optimise_pose_graph(self, loop_edges=()):
-        """Global pose-graph GN over keyframes with sequential odometry edges
-        plus `loop_edges` = [(i, j, R_ij, t_ij), ...] relative constraints."""
-        n = len(self.keyframes)
+        """Global pose-graph GN over stored keyframes: sequential odometry
+        edges (from current poses) plus `loop_edges` =
+        [(ordinal_i, ordinal_j, R_ij, t_ij), ...] relative constraints."""
+        views = self.keyframes
+        n = len(views)
         if n < 2:
             return
-        ei, ej, eR, et = [], [], [], []
-        for a, b in zip(self.keyframes[:-1], self.keyframes[1:]):
-            Ra_inv, ta_inv = se3.inverse(jnp.asarray(a.R), jnp.asarray(a.t))
-            Rij, tij = se3.compose(Ra_inv, ta_inv,
-                                   jnp.asarray(b.R), jnp.asarray(b.t))
-            ei.append(a.index); ej.append(b.index)
-            eR.append(np.asarray(Rij)); et.append(np.asarray(tij))
-        for (i, j, Rij, tij) in loop_edges:
-            ei.append(i); ej.append(j)
-            eR.append(np.asarray(Rij, np.float32))
-            et.append(np.asarray(tij, np.float32))
+        slots = np.int32([v.slot for v in views])
+        node_of_ordinal = {v.index: i for i, v in enumerate(views)}
+        R = jnp.asarray(np.stack([v.R for v in views]))
+        t = jnp.asarray(np.stack([v.t for v in views]))
+        # consecutive odometry edges in one batched call
+        Rinv, tinv = se3.inverse(R[:-1], t[:-1])
+        Rij, tij = se3.compose(Rinv, tinv, R[1:], t[1:])
+        ei = list(range(n - 1))
+        ej = list(range(1, n))
+        eR = [np.asarray(Rij)]
+        et = [np.asarray(tij)]
+        extra_R, extra_t = [], []
+        for (i, j, Rl, tl) in loop_edges:
+            if i not in node_of_ordinal or j not in node_of_ordinal:
+                continue
+            ei.append(node_of_ordinal[i]); ej.append(node_of_ordinal[j])
+            extra_R.append(np.asarray(Rl, np.float32))
+            extra_t.append(np.asarray(tl, np.float32))
+        if extra_R:
+            eR.append(np.stack(extra_R)); et.append(np.stack(extra_t))
         g = pose_graph.PoseGraph(
-            R=jnp.asarray(np.stack([kf.R for kf in self.keyframes])),
-            t=jnp.asarray(np.stack([kf.t for kf in self.keyframes])),
+            R=R, t=t,
             edge_i=jnp.asarray(np.int32(ei)), edge_j=jnp.asarray(np.int32(ej)),
-            edge_R=jnp.asarray(np.stack(eR)), edge_t=jnp.asarray(np.stack(et)),
+            edge_R=jnp.asarray(np.concatenate(eR)),
+            edge_t=jnp.asarray(np.concatenate(et)),
             edge_valid=jnp.ones(len(ei), bool),
             node_valid=jnp.ones(n, bool))
         g2, _ = pose_graph.optimize(g, iters=8, damping=1e-5)
-        Rn, tn = np.asarray(g2.R), np.asarray(g2.t)
-        for k, kf in enumerate(self.keyframes):
-            kf.R, kf.t = Rn[k], tn[k]
+        st = self._st
+        sl = jnp.asarray(slots)
+        store = st.store._replace(R=st.store.R.at[sl].set(g2.R),
+                                  t=st.store.t.at[sl].set(g2.t))
+        self._st = st._replace(store=store)
+        self._cache_last((self._num_kf - 1) % self.capacity)
+
+    # -- introspection ------------------------------------------------------
+
+    @property
+    def keyframes(self):
+        """Host views of stored keyframes, ordered by insertion ordinal."""
+        st = self._st.store
+        ordinal = np.asarray(st.ordinal)
+        valid = np.asarray(st.valid)
+        frame_id = np.asarray(st.frame_id)
+        R = np.asarray(st.R)
+        t = np.asarray(st.t)
+        order = [int(s) for s in np.argsort(ordinal) if valid[s]]
+        return [KeyframeView(index=int(ordinal[s]), frame=int(frame_id[s]),
+                             slot=s, R=R[s], t=t[s]) for s in order]
+
+    @property
+    def num_keyframes(self) -> int:
+        return min(self._num_kf, self.capacity)
+
+    @property
+    def num_landmarks(self) -> int:
+        return self._num_lm
+
+    def landmark_positions(self) -> np.ndarray:
+        """(N, 3) world positions of live landmarks."""
+        xyz = np.asarray(self._st.lmap.xyz)
+        valid = np.asarray(self._st.lmap.valid)
+        return xyz[valid]
 
     def keyframe_positions(self) -> np.ndarray:
-        return np.stack([-kf.R.T @ kf.t for kf in self.keyframes])
+        return np.stack([-v.R.T @ v.t for v in self.keyframes])
 
     @property
     def keyframe_frames(self):
         """Source frame number of each keyframe."""
-        return [kf.frame for kf in self.keyframes]
+        return [v.frame for v in self.keyframes]

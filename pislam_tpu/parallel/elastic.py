@@ -61,14 +61,32 @@ class CheckpointedRunner:
         self.steps_done = 0
 
     def resume(self, init_state: Any) -> Any:
-        """Restore the latest checkpoint if one exists, else init_state."""
-        meta = os.path.join(self._dir, "STEP")
-        if os.path.exists(meta):
-            with open(meta) as f:
-                self.steps_done = int(f.read().strip())
-            return self._ckpt.restore(
-                os.path.join(self._dir, "state"), like=init_state)
-        return init_state
+        """Restore the latest checkpoint if one exists, else init_state.
+
+        The step counter lives INSIDE the checkpoint payload, so state and
+        progress are restored atomically -- a crash can never resume with a
+        newer state but an older counter (which would re-apply frames
+        already folded into the state). In multi-process runs the counter is
+        broadcast from process 0 so all hosts resume at the same step even
+        on non-shared filesystems.
+        """
+        import jax.numpy as jnp
+
+        path = os.path.join(self._dir, "state")
+        if os.path.exists(path):
+            payload = self._ckpt.restore(
+                path, like={"state": init_state,
+                            "steps_done": jnp.zeros((), jnp.int32)})
+            self.steps_done = int(payload["steps_done"])
+            state = payload["state"]
+        else:
+            state = init_state
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            self.steps_done = int(multihost_utils.broadcast_one_to_all(
+                jnp.int32(self.steps_done)))
+        return state
 
     def run(self, state: Any, items) -> Any:
         for i, item in enumerate(items):
@@ -84,9 +102,11 @@ class CheckpointedRunner:
     def _save(self, state):
         if jax.process_index() != 0:
             return
+        import jax.numpy as jnp
+
         os.makedirs(self._dir, exist_ok=True)
-        self._ckpt.save(os.path.join(self._dir, "state"), state)
-        tmp = os.path.join(self._dir, "STEP.tmp")
-        with open(tmp, "w") as f:
-            f.write(str(self.steps_done))
-        os.replace(tmp, os.path.join(self._dir, "STEP"))
+        # single atomic payload: state + counter together (orbax writes to a
+        # temp dir and renames)
+        self._ckpt.save(os.path.join(self._dir, "state"),
+                        {"state": state,
+                         "steps_done": jnp.int32(self.steps_done)})

@@ -177,3 +177,122 @@ def test_relocalise_and_loop_detection():
     i2, *_ = slam.match_keyframe(junk, np.zeros((K_SLOTS, 2), np.float32),
                                  min_matches=30)
     assert i2 == -1
+
+
+def test_slam_checkpoint_restart_relocalise(tmp_path):
+    """Run N frames, checkpoint, restart a FRESH KeyframeSLAM from the
+    checkpoint, and relocalise a held-out frame against the restored map
+    (VERDICT round-1 top item: the SLAM state is a real checkpointable
+    pytree, not Python lists)."""
+    xyz, desc = make_world(seed=6)
+    Rs, ts = make_trajectory(20)
+    cfg = tiny_cfg()
+    proj = projector(xyz, desc, Rs, ts)
+    slam = KeyframeSLAM(cfg, FX, FY, CX, CY, features_fn=proj,
+                        keyframe_min_inliers=220, keyframe_max_gap=4)
+    for i in range(18):  # hold out frames 18, 19
+        slam.process(i)
+    assert slam.num_keyframes >= 4
+    assert slam.num_landmarks > 0
+    path = str(tmp_path / "slam_ck")
+    slam.save_checkpoint(path)
+
+    # a fresh instance, new RNG, nothing processed
+    slam2 = KeyframeSLAM(cfg, FX, FY, CX, CY, features_fn=proj,
+                         keyframe_min_inliers=220, keyframe_max_gap=4,
+                         seed=99)
+    slam2.restore_checkpoint(path)
+    assert slam2.num_keyframes == slam.num_keyframes
+    assert slam2.num_landmarks == slam.num_landmarks
+    np.testing.assert_array_equal(
+        np.asarray(slam2.state.store.codes), np.asarray(slam.state.store.codes))
+    np.testing.assert_array_equal(
+        np.asarray(slam2.state.lmap.xyz), np.asarray(slam.state.lmap.xyz))
+
+    # relocalise the held-out frame 18 against the restored map
+    pose = slam2.relocalise(18, min_matches=30)
+    assert pose is not None
+    R, t = pose
+    assert np.linalg.norm(R - Rs[18]) < 0.06, R
+
+    # the restored session keeps tracking: process the held-out frames
+    info = slam2.process(18)
+    assert info["num_inliers"] >= 12
+    info = slam2.process(19)
+    assert info["num_inliers"] >= 12
+
+
+def test_slam_map_tracking_fixes_scale():
+    """Motion-only BA against the landmark map pins per-frame translation to
+    map scale (essential-only chaining forces unit steps regardless of true
+    speed). Trajectory with VARYING speed: map tracking must recover it."""
+    xyz, desc = make_world(seed=8, n=500)
+    Rs, ts = [], []
+    pos = np.zeros(3, np.float32)
+    for i in range(20):
+        w = np.float32([0.0, 0.008 * i, 0.0])
+        R = np.asarray(se3.so3_exp(jnp.asarray(w))).astype(np.float32)
+        # speed doubles halfway: unit-step chaining cannot represent this
+        step = 0.08 if i < 10 else 0.16
+        if i:
+            pos = pos + np.float32([step, 0.0, 0.005])
+        Rs.append(R); ts.append((-R @ pos).astype(np.float32))
+    cfg = tiny_cfg()
+    slam = KeyframeSLAM(cfg, FX, FY, CX, CY,
+                        features_fn=projector(xyz, desc, Rs, ts),
+                        keyframe_min_inliers=220, keyframe_max_gap=3)
+    infos = [slam.process(i) for i in range(20)]
+    assert sum(i["map_inliers"] >= cfg.map.min_map_inliers
+               for i in infos[4:]) >= 12, \
+        [i["map_inliers"] for i in infos]
+    est = np.stack(slam.trajectory)
+    gt = np.stack([-R.T @ t for R, t in zip(Rs, ts)])
+    err = ate_rmse(est, gt, with_scale=True)
+    assert err < 0.12, err
+
+
+def test_checkpointed_runner_drives_slam(tmp_path):
+    """CheckpointedRunner + SlamState: crash after frame 9, restart, finish.
+    The elastic loop and the SLAM pytree state actually compose."""
+    from pislam_tpu.parallel.elastic import CheckpointedRunner
+
+    xyz, desc = make_world(seed=10)
+    Rs, ts = make_trajectory(14)
+    cfg = tiny_cfg()
+    proj = projector(xyz, desc, Rs, ts)
+
+    def make_slam():
+        return KeyframeSLAM(cfg, FX, FY, CX, CY, features_fn=proj,
+                            keyframe_min_inliers=220, keyframe_max_gap=4)
+
+    slam = make_slam()
+
+    def step(state, frame_idx):
+        slam.set_state(state)
+        slam.process(int(frame_idx))
+        return slam.state
+
+    d = str(tmp_path / "ck")
+    r = CheckpointedRunner(step, d, every=5)
+    s = r.resume(slam.state)
+    # simulate a crash mid-run: only the first 9 frames execute
+    s = r.run(s, range(9))
+    assert r.steps_done == 9
+
+    # fresh process: new runner + new SLAM instance resume from checkpoint
+    slam2 = make_slam()
+
+    def step2(state, frame_idx):
+        slam2.set_state(state)
+        slam2.process(int(frame_idx))
+        return slam2.state
+
+    r2 = CheckpointedRunner(step2, d, every=5)
+    s2 = r2.resume(slam2.state)
+    assert r2.steps_done == 9
+    s2 = r2.run(s2, range(14))
+    slam2.set_state(s2)
+    assert slam2.num_keyframes >= 3
+    est = slam2.keyframe_positions()
+    gt = np.stack([-Rs[f].T @ ts[f] for f in slam2.keyframe_frames])
+    assert ate_rmse(est, gt, with_scale=True) < 0.15

@@ -48,8 +48,8 @@ def test_keyframe_slam_real_frontend():
     infos = [slam.process(jnp.asarray(f)) for f in frames]
 
     assert len(slam.keyframes) >= 3, f"only {len(slam.keyframes)} keyframes"
-    assert slam.landmarks, "no landmarks triangulated"
-    n_pts = sum(len(b["xyz"]) for b in slam.landmarks)
+    X = slam.landmark_positions()
+    n_pts = len(X)
     assert n_pts >= 50, f"only {n_pts} landmarks"
     assert sum(i["num_inliers"] >= 20 for i in infos[1:]) >= N_FRAMES - 3
 
@@ -60,7 +60,6 @@ def test_keyframe_slam_real_frontend():
 
     # triangulated landmark depths must cluster at the two plane depths
     # (up to the monocular scale factor shared with the trajectory)
-    X = np.concatenate([b["xyz"] for b in slam.landmarks])
     z = X[:, 2]
     z = z[(z > 0) & np.isfinite(z)]
     assert len(z) >= 40
