@@ -83,11 +83,11 @@ def match(desc1, desc2, valid1, valid2, max_distance: int = 64,
     semantics, with the XLA path serving CPU and unaligned shapes.
     """
     nbits = desc1.shape[1] * 32
-    # kernel envelope: lane-aligned shapes, and the database + one
-    # (MATCH_BLOCK, K2) i32 distance block (with its live copies) must fit
-    # the ~16 MB per-kernel VMEM ceiling -- cap at the tested 2048x256 size
-    aligned = (desc2.shape[0] % 128 == 0 and nbits % 128 == 0
-               and desc2.shape[0] * nbits <= 2048 * 256)
+    # kernel envelope: lane-aligned shapes. Database size is unbounded --
+    # the kernel streams (MATCH_BLOCK, MATCH_BLOCK_K2) tiles through VMEM
+    # with running row/column accumulators (pallas_kernels.match_reduce),
+    # so map-scale K2 never materialises a (K1, K2) HBM transient.
+    aligned = desc2.shape[0] % 128 == 0 and nbits % 128 == 0
     if jax.default_backend() != "cpu" and aligned:
         from .ops import pallas_kernels as pk
 

@@ -504,59 +504,78 @@ def orb_select_bits(flat, gm_packed):
 # fused Hamming match reductions: distance blocks never reach HBM
 # ---------------------------------------------------------------------------
 # The XLA matcher (matching.py) materialises the (K1, K2) i32 distance
-# matrix (16 MB at K=2048) and re-reads it for min / argmin / masked-second
-# / column-argmin -- ~5 HBM round trips dominating the ~10 us MXU matmul.
-# This kernel computes each 256-row distance block in VMEM via one i8 MXU
-# dot and reduces it in-register: per-row best / first-argmin / second-best,
-# plus column min/first-argmin accumulated across grid steps in a
-# constant-index output block (flushed to HBM once). Semantics identical to
-# the XLA path (first-occurrence argmins; invalid slots pinned to MAX_DIST).
+# matrix (16 MB at K=2048, 128 MB at map scale K2=16384) and re-reads it for
+# min / argmin / masked-second / column-argmin -- ~5 HBM round trips
+# dominating the MXU matmul. This kernel computes each
+# (MATCH_BLOCK, MATCH_BLOCK_K2) distance tile in VMEM via one i8 MXU dot and
+# reduces it in-register. The grid is 2-D (row blocks, database blocks;
+# database innermost): per-row best / first-argmin / second-best accumulate
+# across database blocks in revisited output blocks, and the column
+# min/first-argmin accumulates across row blocks per database block. The
+# merge rule for the running second-best is exact:
+#     second' = min(max(best_new, best_old), second_old, second_new)
+# (case best_new < best_old: masked column moves -> old best counts;
+#  case equal: the duplicate best in the other block counts as second;
+#  case best_new > best_old: best_new is a second candidate.)
+# Semantics identical to the XLA path (first-occurrence argmins; invalid
+# slots pinned to MAX_DIST). This lifts the round-1 2048x256 database
+# envelope: any lane-aligned K2 streams through VMEM (the matcher the
+# reference wished for at map scale, reference README.md:125-128).
 
 MATCH_BLOCK = 256
+MATCH_BLOCK_K2 = 2048  # database columns per VMEM tile (i8: 512 KB)
 MATCH_MAX = 1 << 14   # matching.MAX_DIST (sentinel > any Hamming distance)
 
 
 def _match_reduce_kernel(a_ref, b_ref, v1_ref, v2_ref,
                          best_ref, second_ref, idx_ref, col_ref, *, nbits):
-    i = pl.program_id(0)
+    i = pl.program_id(0)          # row block
+    j = pl.program_id(1)          # database block (innermost)
     a = a_ref[:]                  # (B, nbits) i8
-    b = b_ref[:]                  # (K2, nbits) i8, VMEM-resident
-    k2 = b.shape[0]
+    b = b_ref[:]                  # (BK2, nbits) i8
+    bk2 = b.shape[0]
     dot = jax.lax.dot_general(
         a, b, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32)
     d = (nbits - dot) >> 1
     d = jnp.where(v1_ref[:] != 0, d, MATCH_MAX)          # (B, 1) bcast
-    d = jnp.where(v2_ref[:] != 0, d, MATCH_MAX)          # (1, K2) bcast
+    d = jnp.where(v2_ref[:] != 0, d, MATCH_MAX)          # (1, BK2) bcast
 
     cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
     best = jnp.min(d, axis=1, keepdims=True)
-    first = jnp.where(d == best, cols, k2)
-    idx = jnp.min(first, axis=1, keepdims=True)
-    masked = jnp.where(cols == idx, MATCH_MAX, d)
-    best_ref[:] = best
-    second_ref[:] = jnp.min(masked, axis=1, keepdims=True)
-    idx_ref[:] = idx
+    first = jnp.where(d == best, cols, bk2)
+    idx = jnp.min(first, axis=1, keepdims=True) + j * bk2
+    masked = jnp.where(cols + j * bk2 == idx, MATCH_MAX, d)
+    second = jnp.min(masked, axis=1, keepdims=True)
 
-    # column min / first-argmin accumulated across row blocks
+    @pl.when(j == 0)
+    def _row_init():
+        best_ref[:] = best
+        second_ref[:] = second
+        idx_ref[:] = idx
+
+    @pl.when(j > 0)
+    def _row_update():
+        b_old = best_ref[:]
+        s_old = second_ref[:]
+        i_old = idx_ref[:]
+        take_new = best < b_old          # strict: keep first occurrence
+        best_ref[:] = jnp.minimum(best, b_old)
+        second_ref[:] = jnp.minimum(jnp.minimum(s_old, second),
+                                    jnp.maximum(best, b_old))
+        idx_ref[:] = jnp.where(take_new, idx, i_old)
+
+    # per-(row block, db block) column min / first-argmin. Accumulating
+    # across row blocks in a j-indexed output is illegal with j innermost
+    # (non-contiguous block revisits); instead each (i, j) writes its own
+    # (2, BK2) tile and the tiny (I, 2, K2) cross-row-block merge happens
+    # in XLA after the call.
     rows = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
-    cmin = jnp.min(d, axis=0, keepdims=True)             # (1, K2)
+    cmin = jnp.min(d, axis=0, keepdims=True)             # (1, BK2)
     rfirst = jnp.where(d == cmin, rows, d.shape[0])
     carg = (jnp.min(rfirst, axis=0, keepdims=True)
             + i * d.shape[0]).astype(jnp.int32)
-    state = jnp.concatenate([cmin, carg], axis=0)        # (2, K2)
-
-    @pl.when(i == 0)
-    def _init():
-        col_ref[:] = state
-
-    @pl.when(i > 0)
-    def _update():
-        prev = col_ref[:]
-        take_new = cmin < prev[0:1]      # strict: keep first occurrence
-        col_ref[:] = jnp.concatenate(
-            [jnp.where(take_new, cmin, prev[0:1]),
-             jnp.where(take_new, carg, prev[1:2])], axis=0)
+    col_ref[0] = jnp.concatenate([cmin, carg], axis=0)   # (2, BK2)
 
 
 def match_reduce(a_pm1, b_pm1, valid1, valid2):
@@ -565,49 +584,63 @@ def match_reduce(a_pm1, b_pm1, valid1, valid2):
 
     a_pm1 (K1, nbits) i8, b_pm1 (K2, nbits) i8. Returns
     (best (K1,), second (K1,), idx (K1,), col_argmin (K2,)) int32, matching
-    matching.py's XLA reductions exactly.
+    matching.py's XLA reductions exactly. K1 is padded to MATCH_BLOCK and
+    K2 to MATCH_BLOCK_K2 (when larger than one tile) with invalid slots.
     """
     k1, nbits = a_pm1.shape
     k2 = b_pm1.shape[0]
     pad = (-k1) % MATCH_BLOCK
-    if pad:
-        zb = jnp.zeros((pad, nbits), a_pm1.dtype)
+    pad2 = (-k2) % MATCH_BLOCK_K2 if k2 > MATCH_BLOCK_K2 else 0
+    if pad or pad2:
+        za = jnp.zeros((pad, nbits), a_pm1.dtype)
+        zb = jnp.zeros((pad2, nbits), b_pm1.dtype)
         best, second, idx, carg = match_reduce(
-            jnp.concatenate([a_pm1, zb]), b_pm1,
-            jnp.concatenate([valid1, jnp.zeros(pad, bool)]), valid2)
-        return best[:k1], second[:k1], idx[:k1], carg
+            jnp.concatenate([a_pm1, za]),
+            jnp.concatenate([b_pm1, zb]),
+            jnp.concatenate([valid1, jnp.zeros(pad, bool)]),
+            jnp.concatenate([valid2, jnp.zeros(pad2, bool)]))
+        return best[:k1], second[:k1], idx[:k1], carg[:k2]
+    bk2 = min(k2, MATCH_BLOCK_K2)
     kern = functools.partial(_match_reduce_kernel, nbits=nbits)
-    grid = (k1 // MATCH_BLOCK,)
-    col = lambda: pl.BlockSpec((MATCH_BLOCK, 1), lambda i: (i, 0),
+    grid = (k1 // MATCH_BLOCK, k2 // bk2)
+    col = lambda: pl.BlockSpec((MATCH_BLOCK, 1), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM)
     best, second, idx, colstate = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((MATCH_BLOCK, nbits), lambda i: (i, 0),
+            pl.BlockSpec((MATCH_BLOCK, nbits), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k2, nbits), lambda i: (0, 0),
+            pl.BlockSpec((bk2, nbits), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((MATCH_BLOCK, 1), lambda i: (i, 0),
+            pl.BlockSpec((MATCH_BLOCK, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k2), lambda i: (0, 0),
+            pl.BlockSpec((1, bk2), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[col(), col(), col(),
-                   pl.BlockSpec((2, k2), lambda i: (0, 0),
+                   pl.BlockSpec((1, 2, bk2), lambda i, j: (i, 0, j),
                                 memory_space=pltpu.VMEM)],
         out_shape=[
             jax.ShapeDtypeStruct((k1, 1), jnp.int32),
             jax.ShapeDtypeStruct((k1, 1), jnp.int32),
             jax.ShapeDtypeStruct((k1, 1), jnp.int32),
-            jax.ShapeDtypeStruct((2, k2), jnp.int32),
+            jax.ShapeDtypeStruct((k1 // MATCH_BLOCK, 2, k2), jnp.int32),
         ],
     )(a_pm1,
       b_pm1,
       valid1.reshape(k1, 1).astype(jnp.int32),
       valid2.reshape(1, k2).astype(jnp.int32))
+    # merge the per-row-block column states: global min, first-occurrence
+    # argmin (carg carries the absolute row index, so min over ties IS the
+    # first occurrence)
+    cmin = colstate[:, 0, :]                             # (I, K2)
+    carg = colstate[:, 1, :]
+    gmin = jnp.min(cmin, axis=0)
+    gargs = jnp.where(cmin == gmin[None, :], carg, jnp.int32(2**31 - 1))
+    col_argmin = jnp.min(gargs, axis=0)
     return (best.reshape(k1), second.reshape(k1), idx.reshape(k1),
-            colstate[1])
+            col_argmin)
 
 
 # ---------------------------------------------------------------------------

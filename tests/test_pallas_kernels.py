@@ -192,3 +192,42 @@ def test_realign2d_matches_realign():
         b = np.asarray(pk.realign_windows2d(
             jnp.asarray(rows), jnp.asarray(psi), jnp.asarray(phi)))
     assert np.array_equal(a, b)
+
+
+def test_match_reduce_tiled_interpret():
+    """K2-tiled path (database > one VMEM tile): the running
+    best/second/argmin merge across database blocks must equal the XLA
+    whole-matrix reductions, including ties split across blocks."""
+    from pislam_tpu import matching
+
+    rng = np.random.default_rng(13)
+    bk2 = pk.MATCH_BLOCK_K2
+    k1, k2 = 320, bk2 * 2 + 384  # multi-tile + K2 padding path
+    d1 = rng.integers(0, 2**32, (k1, 8), dtype=np.uint32)
+    d2 = rng.integers(0, 2**32, (k2, 8), dtype=np.uint32)
+    # exact duplicates split ACROSS database tiles: best in tile 0 with its
+    # duplicate in tile 1 (second must equal best), best in tile 2 beating
+    # tile 0 (argmin must move), and a within-tile duplicate
+    d2[10] = d1[3]
+    d2[bk2 + 7] = d1[3]
+    d2[2 * bk2 + 100] = d1[5]
+    d2[40] = d1[5] ^ np.uint32(3)       # 2 bits worse, earlier tile
+    d2[500] = d1[9]
+    d2[501] = d1[9]
+    v1 = rng.random(k1) < 0.9
+    v2 = rng.random(k2) < 0.9
+    v1[[3, 5, 9]] = True
+    v2[[10, bk2 + 7, 2 * bk2 + 100, 40, 500, 501]] = True
+    a = matching.expand_pm1(jnp.asarray(d1))
+    b = matching.expand_pm1(jnp.asarray(d2))
+    with pltpu.force_tpu_interpret_mode():
+        best, second, idx, carg = pk.match_reduce(
+            a, b, jnp.asarray(v1), jnp.asarray(v2))
+    dist = matching.hamming_matrix(jnp.asarray(d1), jnp.asarray(d2),
+                                   jnp.asarray(v1), jnp.asarray(v2))
+    eidx, ebest, esecond = matching._best_two(dist)
+    ecarg = jnp.argmin(dist, axis=0)
+    assert np.array_equal(np.asarray(best), np.asarray(ebest))
+    assert np.array_equal(np.asarray(second), np.asarray(esecond))
+    assert np.array_equal(np.asarray(idx), np.asarray(eidx))
+    assert np.array_equal(np.asarray(carg), np.asarray(ecarg))

@@ -1,8 +1,14 @@
 """Interleaved A/B: Pallas fused match reductions vs the XLA path.
 
-Real descriptors from the demo pyramid on both sides (K=2048), full match
-semantics (ratio + cross-check) in both variants.
+Real descriptors from the demo pyramid on both sides, full match semantics
+(ratio + cross-check) in both variants. By default the database is one
+frame (K2=2048); pass a K2 on the command line (e.g. 16384) to benchmark
+the map-scale K2-tiled kernel against the XLA whole-matrix fallback — the
+regime where the fallback materialises a (K1, K2) i32 HBM transient
+(128 MB at K2=16384) while the tiled kernel streams VMEM blocks.
 """
+import sys
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -14,13 +20,25 @@ from pislam_tpu.frontend import _extract_impl
 
 
 def main():
+    k2 = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     cfg, stack_np, mask = load_demo()
     feats = jax.jit(lambda im: _extract_impl(im, mask, cfg))(
         jnp.asarray(stack_np))
     d1 = np.asarray(feats.descriptors)
     v1 = np.asarray(feats.valid)
-    d2 = np.roll(d1, 7, axis=0)
-    v2 = np.roll(v1, 0)
+    if k2 and k2 != d1.shape[0]:
+        # map-scale database: tile the real frame descriptors with per-copy
+        # bit jitter (distinct landmarks, realistic distance statistics)
+        reps = -(-k2 // d1.shape[0])
+        rng = np.random.default_rng(0)
+        tiles = [np.roll(d1, 7 * i, axis=0)
+                 ^ rng.integers(0, 2, d1.shape, dtype=np.uint32)
+                 for i in range(reps)]
+        d2 = np.concatenate(tiles)[:k2]
+        v2 = np.concatenate([np.roll(v1, 7 * i) for i in range(reps)])[:k2]
+    else:
+        d2 = np.roll(d1, 7, axis=0)
+        v2 = np.roll(v1, 0)
 
     def filters(best, second, idx2, rbest, valid1, k1):
         ok = best <= 64
@@ -52,11 +70,24 @@ def main():
         rbest = jnp.argmin(dist, axis=0)
         return probe(*filters(best, second, idx2, rbest, jv1, d.shape[0]))
 
-    # correctness: identical matches on hardware
-    a = np.asarray(jax.jit(pallas_op)(jnp.asarray(d1)))
-    b = np.asarray(jax.jit(xla_op)(jnp.asarray(d1)))
-    assert a == b, (a, b)
-    print("pallas and XLA match probes identical on hardware")
+    # correctness: all four raw reductions bit-identical on hardware
+    def pallas_raw(d):
+        from pislam_tpu.ops import pallas_kernels as pk
+
+        return pk.match_reduce(matching.expand_pm1(d),
+                               matching.expand_pm1(jd2), jv1, jv2)
+
+    def xla_raw(d):
+        dist = matching.hamming_matrix(d, jd2, jv1, jv2)
+        idx2, best, second = matching._best_two(dist)
+        return best, second, idx2, jnp.argmin(dist, axis=0)
+
+    pr = [np.asarray(o) for o in jax.jit(pallas_raw)(jnp.asarray(d1))]
+    xr = [np.asarray(o) for o in jax.jit(xla_raw)(jnp.asarray(d1))]
+    for name, p, x in zip(("best", "second", "idx", "col_argmin"), pr, xr):
+        assert np.array_equal(p, x), f"{name} diverges on hardware"
+    print(f"pallas and XLA reductions bit-identical on hardware "
+          f"(K1={d1.shape[0]}, K2={d2.shape[0]})")
 
     # ~50 us ops need long chains against the ~30 ms readback drift
     interleaved_ab({"pallas_match": pallas_op, "xla_match": xla_op},
