@@ -63,7 +63,7 @@ def _extract_impl(img, level_mask, cfg: PislamConfig) -> Features:
     # ~0.6 ms per frame if computed with traced ops)
     level_mask = np.asarray(level_mask)
     if (fc.fused_upstream and pk.available(img.shape)
-            and fc.log_bucket_size == 0):
+            and (fc.log_bucket_size == 0 or fc.border % 2 == 0)):
         # fused Pallas pass: FAST + Harris + mask + NMS + encode + 2x2
         # merge; 16 output rows per grid step (vs 8) re-fetches each image
         # row 2x instead of 3x and halves grid overhead: -24% in-context
@@ -72,6 +72,19 @@ def _extract_impl(img, level_mask, cfg: PislamConfig) -> Features:
             img, jnp.asarray(pk.build_mask16(level_mask, pk.FUSED_NOUT)),
             fc.fast_threshold, fc.harris_threshold, pk.FUSED_NOUT)
         reduced = pk.reduce_keys_2x(keys)
+        if fc.log_bucket_size > 0:
+            # bucketing ON the 2x2-reduced code grid, exactly: reduced[r,c]
+            # is the sole NMS survivor of grid block (2r..2r+1, 2c..2c+1)
+            # (3x3 NMS leaves <=1 per block), and with an even border every
+            # block lies whole inside one bucket cell, so bucket_topk with
+            # halved border/cell geometry caps the same cells on 4x fewer
+            # entries (Fast.h:316-341 semantics via nms.bucket_topk).
+            # Cells of (bs/2)^2 reduced entries can't exceed the cap ->
+            # bucketing is a no-op there, skip it.
+            if fc.bucket_limit < (1 << (fc.log_bucket_size - 1)) ** 2:
+                reduced = nms.bucket_topk(
+                    reduced, fc.border // 2, fc.log_bucket_size - 1,
+                    fc.bucket_limit)
         codes, valid = nms.select_topk_codes(reduced, fc.max_keypoints)
     else:
         corner = fast.fast_detect(img, fc.fast_threshold)

@@ -95,8 +95,26 @@ def main():
         assert np.array_equal(np.asarray(feats.codes), cx), f"{tag} codes diverge"
         assert np.array_equal(np.asarray(feats.descriptors), dx), (
             f"{tag} descriptors diverge")
+    # bucketed config: the fused path buckets the 2x2-reduced code grid
+    # (halved geometry); must match the XLA grid bucketing feature-for-
+    # feature (Fast.h:316-341 semantics)
+    for lbs, lim in ((4, 5), (3, 2)):
+        outs = []
+        for fused in (False, True):
+            c2 = dataclasses.replace(
+                cfg, frontend=dataclasses.replace(
+                    fc, fused_upstream=fused, log_bucket_size=lbs,
+                    bucket_limit=lim))
+            f = jax.jit(lambda im, c2=c2: _extract_impl(im, mask_np, c2))(stack)
+            outs.append((np.asarray(f.codes), np.asarray(f.descriptors)))
+        assert np.array_equal(outs[0][0], outs[1][0]), (
+            f"bucketed codes diverge (lbs={lbs}, limit={lim})")
+        assert np.array_equal(outs[0][1], outs[1][1]), (
+            f"bucketed descriptors diverge (lbs={lbs}, limit={lim})")
+
     print(f"parity OK: {int((cf != 0).sum())} features, descriptors bit-exact"
-          " (pallas components, XLA fallback, production and fused paths)")
+          " (pallas components, XLA fallback, production, fused and"
+          " bucketed-fused paths)")
 
     # xor-reduce over ALL descriptor words: a single-element probe would let
     # XLA slice the BRIEF matmul down to one row in intermediate iterations
