@@ -46,6 +46,56 @@ def make_batch_extract(cfg: PislamConfig, mesh: Mesh):
     return run
 
 
+def make_streaming_pipeline(cfg: PislamConfig, mesh: Mesh):
+    """Data-parallel streaming: per-device camera streams, zero host trips.
+
+    frames (B, T, H, W) uint8 with B sharded on "data" (one or more full
+    sequences per device, e.g. a multi-camera rig or sharded dataset
+    ingest). Each device runs its streams as a jax.lax.scan of the full
+    production per-frame path -- 8-level pyramid build + ORB extraction +
+    Hamming matching against the previous frame (the single-chip streaming
+    benchmark, tools/bench_streaming.py, widened over the mesh). No
+    collectives cross streams, so scaling is embarrassingly parallel and
+    efficiency measures pure SPMD overhead. Returns a jitted
+    frames -> (num_feats (B, T-1), num_matches (B, T-1)).
+    """
+    from .. import matching as m
+    from ..ops import pyramid as pyr_ops
+
+    pc = cfg.pyramid
+    mc = cfg.matcher
+    mask = jnp.asarray(nms.make_level_mask(
+        pc.level_sizes, pc.level_rows, pc.padded_height, pc.stride,
+        cfg.frontend.border))
+
+    def frontend(frame):
+        stack = pyr_ops.build_pyramid(frame, pc)
+        return _extract_impl(stack, mask, cfg)
+
+    def step(prev, frame):
+        feats = frontend(frame)
+        idx2, _ = m.match(
+            prev.descriptors, feats.descriptors, prev.valid, feats.valid,
+            max_distance=mc.max_distance, ratio=mc.ratio,
+            cross_check=mc.cross_check)
+        return feats, (feats.num_valid, jnp.sum(idx2 >= 0))
+
+    def seq(frames):
+        f0 = frontend(frames[0])
+        _, out = jax.lax.scan(step, f0, frames[1:])
+        return out
+
+    @jax.jit
+    def run(frames):
+        f = shard_map(
+            jax.vmap(seq), mesh=mesh,
+            in_specs=(P("data", None, None, None),),
+            out_specs=(P("data"), P("data")), check_vma=False)
+        return f(frames)
+
+    return run
+
+
 def make_sharded_match(mesh: Mesh, axis: str = "model",
                        max_distance: int = 64, ratio: float = 0.8,
                        cross_check: bool = True):

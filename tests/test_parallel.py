@@ -69,6 +69,53 @@ def test_data_parallel_extraction_matches_single():
                                       np.asarray(ref.descriptors))
 
 
+def test_streaming_pipeline_matches_single():
+    """The data-parallel streaming scan (per-device camera streams) must
+    report the same per-frame feature/match counts as the single-device
+    streaming path for each stream."""
+    from pislam_tpu import matching
+    from pislam_tpu.frontend import _extract_impl
+    from pislam_tpu.ops import nms, pyramid as pyr_ops
+
+    pyr = PyramidConfig(base_width=96, base_height=80, num_levels=2)
+    fe = FrontendConfig(fast_threshold=20, harris_threshold=1 << 10,
+                        border=16, max_keypoints=128)
+    cfg = PislamConfig(pyramid=pyr, frontend=fe)
+    mc = cfg.matcher
+
+    nb, t = 4, 4
+    frames = np.stack([
+        np.stack([oracles.make_test_image(pyr.base_height, pyr.base_width,
+                                          seed=10 * b + i)
+                  for i in range(t)])
+        for b in range(nb)
+    ])
+
+    m = meshmod.make_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+    run = dist.make_streaming_pipeline(cfg, m)
+    nfeat, nmatch = run(jnp.asarray(frames))
+    assert nfeat.shape == (nb, t - 1)
+
+    mask = np.asarray(nms.make_level_mask(
+        pyr.level_sizes, pyr.level_rows, pyr.padded_height, pyr.stride,
+        fe.border))
+
+    def single(frame):
+        return _extract_impl(pyr_ops.build_pyramid(frame, pyr), mask, cfg)
+
+    for b in range(nb):
+        prev = single(jnp.asarray(frames[b, 0]))
+        for i in range(1, t):
+            cur = single(jnp.asarray(frames[b, i]))
+            idx2, _ = matching.match(
+                prev.descriptors, cur.descriptors, prev.valid, cur.valid,
+                max_distance=mc.max_distance, ratio=mc.ratio,
+                cross_check=mc.cross_check)
+            assert int(nfeat[b, i - 1]) == int(cur.num_valid)
+            assert int(nmatch[b, i - 1]) == int(jnp.sum(idx2 >= 0))
+            prev = cur
+
+
 def test_sharded_match_matches_single():
     from pislam_tpu import matching
 

@@ -91,6 +91,44 @@ def main():
                           "efficiency")
     print(json.dumps(report))
 
+    # ---- streaming pipeline weak scaling: one camera stream per device ----
+    t_frames = 16
+    st_results = {}
+    for n in sizes:
+        mesh = meshmod.make_mesh(
+            MeshConfig(data_parallel=n, model_parallel=1),
+            devices=jax.devices()[:n])
+        run = dist.make_streaming_pipeline(cfg, mesh)
+        frames = rng.integers(
+            0, 256, (n, t_frames, pyr.base_height, pyr.base_width), np.uint8)
+        fr = jax.device_put(frames)
+        out = run(fr)
+        jax.block_until_ready(out)
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            out = run(fr)
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        st_results[n] = (n * t_frames) / float(np.median(times))
+
+    st_base = st_results[sizes[0]]
+    report = {
+        "metric": "streaming_pipeline_weak_scaling",
+        "platform": jax.default_backend(),
+        "frames_per_stream": t_frames,
+        "frames_per_s": {str(n): round(v, 2) for n, v in st_results.items()},
+        "efficiency": {
+            str(n): round(st_results[n] / (st_base * n), 3) for n in sizes},
+    }
+    if jax.default_backend() == "cpu":
+        report["sharding_overhead_vs_1dev"] = {
+            str(n): round(st_base / st_results[n], 3) for n in sizes}
+        report["note"] = ("cpu virtual devices share cores; see "
+                          "sharding_overhead_vs_1dev (ideal 1.0), not "
+                          "efficiency")
+    print(json.dumps(report))
+
     # ---- distributed BA weak scaling: GN iterations/s over the mesh ----
     sys.path.insert(0, os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
