@@ -9,11 +9,9 @@ they fail if atan2 binning or the rotation-select descriptor path breaks
 (verified: zeroing the angle bins makes the rotation sequence lose nearly
 all matches).
 
-Rendering: two fronto-parallel textured planes (depth variation keeps the
-essential matrix well-conditioned) sampled by inverse bilinear mapping.
-Camera model: world->cam x_c = R (X - c); in-plane roll about the optical
-axis maps frame pixels to frame-0 texture coords by the inverse rotation
-about the principal point plus a depth-dependent lateral shift.
+Rendering: pislam_tpu.utils.render.PlaneScene -- two fronto-parallel
+textured planes (depth variation keeps the essential matrix
+well-conditioned) sampled by inverse bilinear mapping.
 """
 
 import numpy as np
@@ -22,90 +20,24 @@ import jax.numpy as jnp
 from pislam_tpu.config import (BAConfig, FrontendConfig, MatcherConfig,
                                PislamConfig, PyramidConfig, VOConfig)
 from pislam_tpu.evaluation import ate_rmse
-from pislam_tpu.geometry import se3
 from pislam_tpu.models.slam import KeyframeSLAM
 from pislam_tpu.models.visual_odometry import VisualOdometry
+from pislam_tpu.utils.render import PlaneScene
 
 W, H = 384, 256
 FX = FY = 256.0
 CX, CY = W / 2.0, H / 2.0
-Z_BG, Z_FG = 8.0, 4.0
-
-
-def _texture(h, w, seed):
-    """Blocky random texture: strong corners at many scales."""
-    rng = np.random.default_rng(seed)
-    t = rng.integers(0, 256, (h // 8, w // 8), np.uint8)
-    t = np.kron(t, np.ones((8, 8), np.uint8))
-    t2 = rng.integers(0, 256, (h // 2, w // 2), np.uint8)
-    t2 = np.kron(t2, np.ones((2, 2), np.uint8))
-    return ((t.astype(np.int32) + t2.astype(np.int32)) // 2).astype(np.uint8)
-
-
-def _sample(tex, xs, ys):
-    """Bilinear sample tex at float coords (ys, xs), clipped to edges."""
-    h, w = tex.shape
-    xs = np.clip(xs, 0.0, w - 1.001)
-    ys = np.clip(ys, 0.0, h - 1.001)
-    x0 = xs.astype(np.int64)
-    y0 = ys.astype(np.int64)
-    fx = xs - x0
-    fy = ys - y0
-    t = tex.astype(np.float64)
-    v = (t[y0, x0] * (1 - fx) * (1 - fy) + t[y0, x0 + 1] * fx * (1 - fy)
-         + t[y0 + 1, x0] * (1 - fx) * fy + t[y0 + 1, x0 + 1] * fx * fy)
-    return v
-
-
-# textures larger than the view so rotation + shift never leaves them;
-# (MARG, MARG) in texture coords is frame-0 pixel (0, 0)
-MARG = 160
 
 
 def render_sequence(n, roll_step_deg=0.0, lateral_step=0.0, forward_step=0.0,
                     seed=0):
-    """Render n frames + ground-truth (Rs, ts).
-
-    Camera rolls about its optical axis by i*roll_step_deg, moves laterally
-    by i*lateral_step and forward by i*forward_step (world metres). The
-    scene is a background plane at Z_BG with a foreground band (rows
-    [H/4, 3H/4) at frame 0) at Z_FG.
-    """
-    bg = _texture(H + 2 * MARG, W + 2 * MARG, seed * 2 + 1)
-    fg = _texture(H + 2 * MARG, W + 2 * MARG, seed * 2 + 2)
-    u = np.arange(W)[None, :] - CX
-    v = np.arange(H)[:, None] - CY
-    frames, Rs, ts = [], [], []
-    for i in range(n):
-        th = np.deg2rad(roll_step_deg * i)
-        c, s = np.cos(th), np.sin(th)
-        sx = lateral_step * i
-        dz = forward_step * i
-        frame = np.zeros((H, W), np.float64)
-        # frame pixel -> frame-0 texture coords, per plane depth:
-        # x_c = R_z(th) (X - c_cam); for a plane at depth Z the inverse map
-        # is rotate by -th about the principal point, unzoom by Z/(Z - dz),
-        # then shift by fx*sx/Z texture pixels.
-        ru = c * u + s * v
-        rv = -s * u + c * v
-        for tex, Z, is_fg in ((bg, Z_BG, False), (fg, Z_FG, True)):
-            zoom = Z / (Z - dz)
-            shift = FX * sx / Z
-            tx = ru / zoom + shift + CX + MARG
-            ty = rv / zoom + CY + MARG
-            layer = _sample(tex, tx, ty)
-            if is_fg:
-                band = (ty - MARG >= H / 4) & (ty - MARG < 3 * H / 4)
-                frame = np.where(band, layer, frame)
-            else:
-                frame = layer
-        frames.append(np.clip(np.round(frame), 0, 255).astype(np.uint8))
-        R = np.asarray(se3.so3_exp(jnp.asarray(
-            np.float32([0, 0, th])))).astype(np.float32)
-        cc = np.float32([sx, 0.0, dz])
-        Rs.append(R)
-        ts.append((-R @ cc).astype(np.float32))
-    return np.stack(frames), Rs, ts
+    """Render n frames + ground-truth (Rs, ts) on a linear trajectory:
+    roll i*roll_step_deg, lateral i*lateral_step, forward i*forward_step."""
+    scene = PlaneScene(width=W, height=H, fx=FX, fy=FY, seed=seed)
+    i = np.arange(n)
+    frames, Rs, ts = scene.render_trajectory(
+        np.deg2rad(roll_step_deg * i), lateral_step * i, forward_step * i)
+    return frames, list(Rs), list(ts)
 
 
 def _cfg():

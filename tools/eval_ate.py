@@ -1,0 +1,115 @@
+"""Trajectory evaluation on the committed loop sequence: ATE RMSE numbers.
+
+Runs VisualOdometry (frame-to-frame) and KeyframeSLAM (map tracking +
+windowed BA + loop closure) over data/eval_seq.npz (48-frame out-and-back
+loop, tools/make_eval_sequence.py) and prints one JSON line with
+Umeyama-aligned ATE RMSE (pislam_tpu.evaluation.ate_rmse) for each, plus
+the SLAM keyframe ATE before and after pose-graph loop closure. These are
+the README's published trajectory numbers (BASELINE.json configs[3]);
+re-run this script to reproduce them.
+
+Pass --frames DIR to evaluate an image-directory sequence (TUM-style
+grayscale PNGs) without ground truth instead -- reports match/keyframe
+statistics only (no public dataset can enter this environment, hence the
+committed rendered sequence).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pislam_jax_cache")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def slam_config(w, h):
+    from pislam_tpu.config import (BAConfig, FrontendConfig, MatcherConfig,
+                                   PislamConfig, PyramidConfig, VOConfig)
+    return PislamConfig(
+        pyramid=PyramidConfig(base_width=w, base_height=h, num_levels=4),
+        frontend=FrontendConfig(fast_threshold=20, harris_threshold=1 << 10,
+                                border=16, max_keypoints=512),
+        matcher=MatcherConfig(max_distance=64, ratio=0.85),
+        vo=VOConfig(ransac_iters=256, inlier_threshold=2e-3, min_inliers=20),
+        ba=BAConfig(window=6, max_points=1024, max_obs=4096, gn_iters=4),
+    )
+
+
+def main():
+    from pislam_tpu.evaluation import ate_rmse
+    from pislam_tpu.models.slam import KeyframeSLAM
+    from pislam_tpu.models.visual_odometry import VisualOdometry
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", default=None,
+                    help="image directory instead of the committed sequence")
+    args = ap.parse_args()
+
+    if args.frames:
+        from pislam_tpu.io.datasets import image_dir
+        frames = np.stack([f for _, f in image_dir(args.frames)])
+        gt = None
+        h, w = frames.shape[1:]
+        fx = fy = 0.9 * w
+        cx, cy = w / 2.0, h / 2.0
+    else:
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "data", "eval_seq.npz")
+        d = np.load(path)
+        frames, Rs, ts = d["frames"], d["Rs"], d["ts"]
+        fx, fy, cx, cy = (float(d["fx"]), float(d["fy"]),
+                          float(d["cx"]), float(d["cy"]))
+        gt = np.stack([-R.T @ t for R, t in zip(Rs, ts)])
+        h, w = frames.shape[1:]
+
+    cfg = slam_config(w, h)
+
+    # ---- frame-to-frame VO --------------------------------------------
+    vo = VisualOdometry(cfg, fx, fy, cx, cy)
+    state = vo.init(jnp.asarray(frames[0]), seed=0)
+    est_vo = [vo.camera_position(state)]
+    for f in frames[1:]:
+        state, _ = vo.process(state, jnp.asarray(f))
+        est_vo.append(vo.camera_position(state))
+    est_vo = np.stack(est_vo)
+
+    # ---- keyframe SLAM + loop closure ---------------------------------
+    slam = KeyframeSLAM(cfg, fx, fy, cx, cy, keyframe_min_inliers=60,
+                        keyframe_max_gap=3)
+    for f in frames:
+        slam.process(jnp.asarray(f))
+    est_slam = np.stack(slam.trajectory)
+    kf_frames = slam.keyframe_frames
+    kf_pre = slam.keyframe_positions()
+    loop = slam.try_close_loop(min_matches=40, exclude_recent=3)
+    kf_post = slam.keyframe_positions()
+
+    report = {"metric": "trajectory_ate",
+              "frames": int(frames.shape[0]),
+              "keyframes": len(kf_frames),
+              "loop_closed_to_kf": int(loop)}
+    if gt is not None:
+        gt_kf = gt[np.asarray(kf_frames)]
+        report.update({
+            "vo_ate_rmse": round(float(ate_rmse(est_vo, gt)), 4),
+            "slam_ate_rmse": round(float(ate_rmse(est_slam, gt)), 4),
+            "kf_ate_pre_closure": round(float(ate_rmse(kf_pre, gt_kf)), 4),
+            "kf_ate_post_closure": round(float(ate_rmse(kf_post, gt_kf)), 4),
+            "path_length_m": round(float(
+                np.linalg.norm(np.diff(gt, axis=0), axis=1).sum()), 2),
+        })
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
