@@ -86,8 +86,14 @@ def init_state(cfg: PislamConfig, seed: int = 7) -> SlamState:
 class KeyframeSLAM:
     def __init__(self, cfg: PislamConfig, fx, fy, cx, cy, features_fn=None,
                  keyframe_min_inliers: int = 60, keyframe_max_gap: int = 10,
-                 seed: int = 7):
+                 seed: int = 7, metrics=None):
+        from ..utils.metrics import NullMetrics
+
         self.cfg = cfg
+        # structured observability (utils/metrics.py): stage timers +
+        # counters/gauges updated every frame, emitted by the driver as JSON
+        # lines (the reference's whole story was one cout, demo.cpp:113-114)
+        self.metrics = metrics if metrics is not None else NullMetrics()
         self.vo = VisualOdometry(cfg, fx, fy, cx, cy, features_fn=features_fn)
         self.keyframe_min_inliers = keyframe_min_inliers
         self.keyframe_max_gap = keyframe_max_gap
@@ -259,7 +265,10 @@ class KeyframeSLAM:
 
     def process(self, frame):
         """Track one frame; returns dict with pose + bookkeeping."""
-        feats, pts = self._features(frame)
+        m = self.metrics
+        m.count("frames")
+        with m.timer("extract"):
+            feats, pts = self._features(frame)
 
         if self._num_kf == 0:
             R = np.eye(3, dtype=np.float32)
@@ -267,15 +276,18 @@ class KeyframeSLAM:
             self._insert_keyframe(feats, pts, R, t,
                                   jnp.zeros(pts.shape[0], jnp.int32) - 1,
                                   jnp.zeros(pts.shape[0], bool), 0)
+            m.count("keyframes_inserted")
+            m.gauge("num_keyframes", self.num_keyframes)
             self._frame_idx += 1  # AFTER insert: counters[3] is the frame id
             self.trajectory.append(np.zeros(3))
             return {"pose_R": R, "pose_t": t, "keyframe": True,
                     "num_inliers": 0, "map_inliers": 0}
 
         last = self._last
-        out, idx2 = self._localise_against(
-            last["desc"], last["valid"], last["pts"], feats, pts)
-        n_inl = int(out["num_inliers"])
+        with m.timer("track"):
+            out, idx2 = self._localise_against(
+                last["desc"], last["valid"], last["pts"], feats, pts)
+            n_inl = int(out["num_inliers"])
         Rrel = np.asarray(out["R"])
         trel = np.asarray(out["t"])
         trel = trel / max(np.linalg.norm(trel), 1e-9)
@@ -293,9 +305,10 @@ class KeyframeSLAM:
         n_map = 0
         map_idx = jnp.full(pts.shape[0], -1, jnp.int32)
         if self.cfg.map.track_map and self._num_lm > 0:
-            Rm, tm, n_map_d, assoc = self._track_map(
-                self._st.lmap, feats, pts, jnp.asarray(R), jnp.asarray(t))
-            n_map = int(n_map_d)
+            with m.timer("map_track"):
+                Rm, tm, n_map_d, assoc = self._track_map(
+                    self._st.lmap, feats, pts, jnp.asarray(R), jnp.asarray(t))
+                n_map = int(n_map_d)
             if n_map >= self.cfg.map.min_map_inliers:
                 R, t = np.asarray(Rm), np.asarray(tm)
                 map_idx = assoc
@@ -306,12 +319,19 @@ class KeyframeSLAM:
         make_kf = (n_inl < self.keyframe_min_inliers
                    or self._since_kf >= self.keyframe_max_gap)
         if make_kf and n_inl >= self.cfg.vo.min_inliers:
-            self._insert_keyframe(feats, pts, R.astype(np.float32),
-                                  t.astype(np.float32), idx2,
-                                  out["inliers"], last["slot"], map_idx)
+            with m.timer("insert_ba"):
+                self._insert_keyframe(feats, pts, R.astype(np.float32),
+                                      t.astype(np.float32), idx2,
+                                      out["inliers"], last["slot"], map_idx)
+            m.count("keyframes_inserted")
             self._since_kf = 0
         self._frame_idx += 1  # AFTER insert: counters[3] is the frame id
 
+        m.count("track_inliers", n_inl)
+        m.count("map_inliers", n_map)
+        m.gauge("num_keyframes", self.num_keyframes)
+        m.gauge("num_landmarks", self._num_lm)
+        m.gauge("num_observations", self._num_obs)
         return {"pose_R": R, "pose_t": t, "keyframe": make_kf,
                 "num_inliers": n_inl, "map_inliers": n_map}
 
@@ -454,14 +474,16 @@ class KeyframeSLAM:
         """
         if self._num_kf < exclude_recent + 2:
             return -1
+        m = self.metrics
         cur_slot = (self._num_kf - 1) % self.capacity
         desc, kvalid, pts, R_cur, t_cur = self._slot_rows(cur_slot)
         feats_like = Features(
             codes=self._st.store.codes[cur_slot], valid=kvalid,
             angles=jnp.zeros(kvalid.shape[0], jnp.uint8), descriptors=desc)
-        idx, R_rel, t_unit, _ = self.match_keyframe(
-            feats_like, pts, exclude_recent=exclude_recent,
-            min_matches=min_matches)
+        with m.timer("loop_detect"):
+            idx, R_rel, t_unit, _ = self.match_keyframe(
+                feats_like, pts, exclude_recent=exclude_recent,
+                min_matches=min_matches)
         if idx < 0:
             return -1
         old_slot = idx % self.capacity
@@ -481,8 +503,10 @@ class KeyframeSLAM:
         t_rel = t_unit * scale
         R_edge = R_old.T @ R_rel @ R_old
         t_edge = R_old.T @ (R_rel @ t_old + t_rel - t_old)
-        self.optimise_pose_graph(
-            loop_edges=[(idx, self._num_kf - 1, R_edge, t_edge)])
+        with m.timer("pose_graph"):
+            self.optimise_pose_graph(
+                loop_edges=[(idx, self._num_kf - 1, R_edge, t_edge)])
+        m.count("loops_closed")
         return idx
 
     def relocalise(self, frame, min_matches: int = 30):

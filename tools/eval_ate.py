@@ -53,7 +53,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", default=None,
                     help="image directory instead of the committed sequence")
+    ap.add_argument("--metrics", action="store_true",
+                    help="emit one structured JSON metrics line per frame "
+                         "(utils/metrics.py) during the SLAM run")
+    ap.add_argument("--max-frames", type=int, default=0,
+                    help="truncate the sequence (smoke runs; 0 = all)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the sitecustomize preloads "
+                         "jax with the tunneled TPU platform, so a "
+                         "JAX_PLATFORMS env var alone is clobbered; this "
+                         "overrides via jax.config before backend init)")
     args = ap.parse_args()
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        jax.config.update("jax_platforms", "cpu")
 
     if args.frames:
         from pislam_tpu.io.datasets import image_dir
@@ -72,6 +85,11 @@ def main():
         gt = np.stack([-R.T @ t for R, t in zip(Rs, ts)])
         h, w = frames.shape[1:]
 
+    if args.max_frames:
+        frames = frames[: args.max_frames]
+        if gt is not None:
+            gt = gt[: args.max_frames]
+
     cfg = slam_config(w, h)
 
     # ---- frame-to-frame VO --------------------------------------------
@@ -84,10 +102,14 @@ def main():
     est_vo = np.stack(est_vo)
 
     # ---- keyframe SLAM + loop closure ---------------------------------
+    from pislam_tpu.utils.metrics import Metrics, NullMetrics
+    metrics = Metrics() if args.metrics else NullMetrics()
     slam = KeyframeSLAM(cfg, fx, fy, cx, cy, keyframe_min_inliers=60,
-                        keyframe_max_gap=3)
-    for f in frames:
+                        keyframe_max_gap=3, metrics=metrics)
+    for i, f in enumerate(frames):
         slam.process(jnp.asarray(f))
+        if args.metrics:
+            metrics.emit(frame=i)
     est_slam = np.stack(slam.trajectory)
     kf_frames = slam.keyframe_frames
     kf_pre = slam.keyframe_positions()
