@@ -500,6 +500,80 @@ def orb_select_bits(flat, gm_packed):
     return ang.reshape(k), bits
 
 
+def _orb_sorted_kernel(flat_ref, ang_ref, g_ref, bits_ref, acc_ref):
+    """Rotation-select for angle-SORTED keypoint blocks.
+
+    The block's angles are contiguous after the sort, so only rotations in
+    [ang[0], ang[B-1]] can be selected by any keypoint; the other dots are
+    skipped behind a scalar branch (pl.when -> real Mosaic scf.if). The
+    dense kernel above runs all 30 dots per block -- ~30x MXU over-work
+    the reference avoided with its switch dispatch (Brief.h:641-732).
+    """
+    flat = flat_ref[:]                       # (B, 1024) i8
+    ang = ang_ref[:]                         # (B, 1) i32, ascending
+    amin = ang[0, 0]
+    amax = ang[flat.shape[0] - 1, 0]
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    for r in range(30):
+        @pl.when(jnp.logical_and(amin <= r, r <= amax))
+        def _(r=r):
+            part = jax.lax.dot_general(
+                flat, g_ref[:, r * 256: (r + 1) * 256],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc_ref[:] = jnp.where(ang == r, part, acc_ref[:])
+    bits_ref[:] = (acc_ref[:] > 0).astype(jnp.uint8)
+
+
+def orb_select_bits_sorted(flat, gm_packed):
+    """Angle-sorted variant of orb_select_bits (same signature/results).
+
+    Computes the disc moments first (one narrow i8 dot against the trailing
+    weight tile), sorts keypoints by angle bin, and runs the rotation-select
+    kernel on the sorted order so each 256-block only executes the MXU dots
+    for the few bins it actually contains (~2-4 of 30 at K=2048 after the
+    sort). Costs one stable argsort + one (K, 1024) row permute + one
+    (K, 256) inverse permute. A/B vs the dense kernel: tools/ab_orb_sort.py.
+    """
+    from .orientation import atan2_bins
+
+    k = flat.shape[0]
+    pad = (-k) % ORB_BLOCK
+    if pad:
+        ang, bits = orb_select_bits_sorted(
+            jnp.concatenate([flat, jnp.zeros((pad, flat.shape[1]), flat.dtype)]),
+            gm_packed)
+        return ang[:k], bits[:k]
+    mom = jax.lax.dot_general(
+        flat, gm_packed[:, N_BITS_TOTAL: N_BITS_TOTAL + 2],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)            # (K, 2)
+    ang = atan2_bins(mom[:, 0], mom[:, 1]).astype(jnp.int32)  # (K,)
+    order = jnp.argsort(ang)                         # stable
+    flat_s = jnp.take(flat, order, axis=0)
+    ang_s = jnp.take(ang, order)[:, None]
+    bits_s = pl.pallas_call(
+        _orb_sorted_kernel,
+        grid=(k // ORB_BLOCK,),
+        in_specs=[
+            pl.BlockSpec((ORB_BLOCK, 1024), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ORB_BLOCK, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1024, ORB_GCOLS), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ORB_BLOCK, 256), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, 256), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((ORB_BLOCK, 256), jnp.int32)],
+    )(flat_s, ang_s, gm_packed)
+    inv = jnp.zeros(k, jnp.int32).at[order].set(
+        jnp.arange(k, dtype=jnp.int32))
+    bits = jnp.take(bits_s, inv, axis=0)
+    return ang, bits
+
+
 # ---------------------------------------------------------------------------
 # fused Hamming match reductions: distance blocks never reach HBM
 # ---------------------------------------------------------------------------

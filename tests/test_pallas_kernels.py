@@ -151,6 +151,22 @@ def test_orb_select_bits_interpret():
     assert np.array_equal(words, np.asarray(edesc))
 
 
+def test_orb_select_bits_sorted_interpret():
+    """Angle-sorted rotation-skip kernel == the dense formulation."""
+    from pislam_tpu.ops import brief
+
+    rng = np.random.default_rng(17)
+    k = 300  # deliberately not a multiple of ORB_BLOCK
+    flat = rng.integers(-128, 128, (k, 1024)).astype(np.int8)
+    with pltpu.force_tpu_interpret_mode():
+        ang, bits = pk.orb_select_bits_sorted(
+            jnp.asarray(flat), jnp.asarray(brief._gm_packed()))
+    words = np.asarray(brief._pack_bits_u8(bits, 8))
+    eang, edesc = brief._orb_compute_packed_dense(jnp.asarray(flat), 8)
+    assert np.array_equal(np.asarray(ang), np.asarray(eang).astype(np.int32))
+    assert np.array_equal(words, np.asarray(edesc))
+
+
 def test_match_reduce_interpret():
     """Fused match reductions == the XLA distance-matrix reductions."""
     from pislam_tpu import matching

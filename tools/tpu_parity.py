@@ -112,9 +112,28 @@ def main():
         assert np.array_equal(outs[0][1], outs[1][1]), (
             f"bucketed descriptors diverge (lbs={lbs}, limit={lim})")
 
+    # angle-sorted rotation-skip kernel == dense 30-dot kernel on hardware
+    from pislam_tpu.ops import pallas_kernels as pk
+
+    def flat_windows(img):
+        scored = upstream(img)
+        codes, valid = nms.select_topk_scored(scored, fc.max_keypoints)
+        return patches.gather_patches_packed_s8(
+            img, codec.decode_x(codes).astype(jnp.int32),
+            codec.decode_y(codes).astype(jnp.int32), valid)
+
+    flat = jax.jit(flat_windows)(stack)
+    gm = jnp.asarray(brief._gm_packed())
+    a0, b0 = jax.jit(pk.orb_select_bits)(flat, gm)
+    a1, b1 = jax.jit(pk.orb_select_bits_sorted)(flat, gm)
+    assert np.array_equal(np.asarray(a0).ravel(), np.asarray(a1).ravel()), (
+        "angle-sorted kernel: angles diverge")
+    assert np.array_equal(np.asarray(b0), np.asarray(b1)), (
+        "angle-sorted kernel: descriptor bits diverge")
+
     print(f"parity OK: {int((cf != 0).sum())} features, descriptors bit-exact"
-          " (pallas components, XLA fallback, production, fused and"
-          " bucketed-fused paths)")
+          " (pallas components, XLA fallback, production, fused, bucketed-"
+          "fused and angle-sorted-ORB paths)")
 
     # xor-reduce over ALL descriptor words: a single-element probe would let
     # XLA slice the BRIEF matmul down to one row in intermediate iterations
