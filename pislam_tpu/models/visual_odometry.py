@@ -58,6 +58,100 @@ def normalise_points(feats: Features, fx, fy, cx, cy, level_rows, level_scales):
     return jnp.stack([(u - cx) / fx, (v - cy) / fy], axis=1)
 
 
+def vo_step(mc, vc, state: VOState, feats: Features, pts):
+    """One pure VO step: match vs previous frame, RANSAC essential, chain.
+
+    Shared by the Python-driven ``VisualOdometry.process`` loop and the
+    device-resident ``make_vo_scan`` sequence scan, so the two are the same
+    program per frame.
+    """
+    idx2, dist = matching.match(
+        state.prev.descriptors, feats.descriptors,
+        state.prev.valid, feats.valid,
+        max_distance=mc.max_distance, ratio=mc.ratio,
+        cross_check=mc.cross_check)
+    ok = idx2 >= 0
+    p1 = state.prev_pts
+    p2 = pts[jnp.clip(idx2, 0)]
+    key, sub = jax.random.split(state.key)
+    out = ransac.ransac_essential(
+        sub, p1, p2, ok, iters=vc.ransac_iters,
+        inlier_threshold=vc.inlier_threshold)
+    good = out["num_inliers"] >= vc.min_inliers
+    # relative pose cam1->cam2 (unit translation); world->cam chains:
+    # T_w2 = T_12 o T_w1
+    tnorm = out["t"] / jnp.maximum(
+        jnp.linalg.norm(out["t"]), 1e-9)
+    Rn = jnp.where(good, out["R"] @ state.R, state.R)
+    tn = jnp.where(good, (out["R"] @ state.t[:, None])[:, 0] + tnorm,
+                   state.t)
+    new_state = VOState(R=Rn, t=tn, prev=feats, prev_pts=pts, key=key)
+    info = {"num_matches": jnp.sum(ok),
+            "num_inliers": out["num_inliers"],
+            "accepted": good}
+    return new_state, info
+
+
+def make_vo_scan(cfg: PislamConfig, fx: float, fy: float,
+                 cx: float, cy: float):
+    """Device-resident VO over a whole sequence: one ``lax.scan``.
+
+    The Python-driven loop dispatches ~3 jitted calls plus host readbacks
+    per frame -- through the tunneled TPU that is ~1-4 ms dispatch + ~30 ms
+    sync each, dwarfing the sub-ms compute. This folds the FULL per-frame
+    path (pyramid build -> ORB extraction -> Hamming match -> vmapped
+    RANSAC essential -> pose chaining) into one compiled scan: zero host
+    round-trips per frame, one sync per sequence. The reference never had a
+    sequence driver at all (its demo is single-frame, demo.cpp:51-115);
+    this is the shape a TPU serving deployment actually wants -- trajectory
+    in, trajectory out.
+
+    Returns a jitted ``(frames (T, H, W) u8, key) -> dict`` with the
+    world->cam trajectory ``R (T, 3, 3)``, ``t (T, 3)`` (frame 0 = identity)
+    and per-transition ``num_inliers``/``accepted`` ((T-1,)). Bit-parity
+    with the ``VisualOdometry`` loop is pinned by tests/test_vo_scan.py.
+    """
+    from ..frontend import _extract_impl
+    from ..ops import nms
+
+    pc = cfg.pyramid
+    mc = cfg.matcher
+    vc = cfg.vo
+    mask = np.asarray(nms.make_level_mask(
+        pc.level_sizes, pc.level_rows, pc.padded_height, pc.stride,
+        cfg.frontend.border))
+    level_rows = pc.level_rows
+    level_scales = tuple(pc.base_width / w for (w, _h) in pc.level_sizes)
+
+    def frontend(frame):
+        stack = pyr_ops.build_pyramid(frame, pc)
+        feats = _extract_impl(stack, mask, cfg)
+        pts = normalise_points(feats, fx, fy, cx, cy,
+                               level_rows, level_scales)
+        return feats, pts
+
+    def step(state, frame):
+        feats, pts = frontend(frame)
+        new_state, info = vo_step(mc, vc, state, feats, pts)
+        return new_state, (new_state.R, new_state.t,
+                           info["num_inliers"], info["accepted"])
+
+    @jax.jit
+    def run(frames, key):
+        f0, p0 = frontend(frames[0])
+        st = VOState(R=jnp.eye(3), t=jnp.zeros(3), prev=f0, prev_pts=p0,
+                     key=key)
+        _, (Rs, ts, ninl, acc) = jax.lax.scan(step, st, frames[1:])
+        return {
+            "R": jnp.concatenate([jnp.eye(3)[None], Rs]),
+            "t": jnp.concatenate([jnp.zeros((1, 3)), ts]),
+            "num_inliers": ninl,
+            "accepted": acc,
+        }
+
+    return run
+
+
 class VisualOdometry:
     """Monocular VO driver. Intrinsics in pixels at pyramid level 0."""
 
@@ -86,36 +180,8 @@ class VisualOdometry:
     def _build_step(self):
         mc = self.cfg.matcher
         vc = self.cfg.vo
-
-        @jax.jit
-        def step(state: VOState, feats: Features, pts):
-            idx2, dist = matching.match(
-                state.prev.descriptors, feats.descriptors,
-                state.prev.valid, feats.valid,
-                max_distance=mc.max_distance, ratio=mc.ratio,
-                cross_check=mc.cross_check)
-            ok = idx2 >= 0
-            p1 = state.prev_pts
-            p2 = pts[jnp.clip(idx2, 0)]
-            key, sub = jax.random.split(state.key)
-            out = ransac.ransac_essential(
-                sub, p1, p2, ok, iters=vc.ransac_iters,
-                inlier_threshold=vc.inlier_threshold)
-            good = out["num_inliers"] >= vc.min_inliers
-            # relative pose cam1->cam2 (unit translation); world->cam chains:
-            # T_w2 = T_12 o T_w1
-            tnorm = out["t"] / jnp.maximum(
-                jnp.linalg.norm(out["t"]), 1e-9)
-            Rn = jnp.where(good, out["R"] @ state.R, state.R)
-            tn = jnp.where(good, (out["R"] @ state.t[:, None])[:, 0] + tnorm,
-                           state.t)
-            new_state = VOState(R=Rn, t=tn, prev=feats, prev_pts=pts, key=key)
-            info = {"num_matches": jnp.sum(ok),
-                    "num_inliers": out["num_inliers"],
-                    "accepted": good}
-            return new_state, info
-
-        return step
+        return jax.jit(lambda state, feats, pts: vo_step(
+            mc, vc, state, feats, pts))
 
     def init(self, frame, seed: int = 0) -> VOState:
         feats = self.extract(frame)

@@ -96,6 +96,34 @@ def make_streaming_pipeline(cfg: PislamConfig, mesh: Mesh):
     return run
 
 
+def make_vo_streaming(cfg: PislamConfig, fx: float, fy: float,
+                      cx: float, cy: float, mesh: Mesh):
+    """Data-parallel device-resident VO: one full trajectory per stream.
+
+    frames (B, T, H, W) uint8 with B sharded on "data" (a multi-camera rig
+    or a sharded dataset sweep), keys (B, 2) uint32 PRNG keys. Each device
+    runs models.visual_odometry.make_vo_scan over its streams -- the whole
+    VO pipeline (pyramid, extraction, matching, RANSAC, pose chaining)
+    inside one lax.scan, no host round-trips. No collectives cross streams;
+    scaling is embarrassingly parallel. Returns a jitted
+    (frames, keys) -> dict of stacked trajectories (R (B, T, 3, 3),
+    t (B, T, 3), num_inliers/accepted (B, T-1)).
+    """
+    from ..models.visual_odometry import make_vo_scan
+
+    one = make_vo_scan(cfg, fx, fy, cx, cy)
+
+    @jax.jit
+    def run(frames, keys):
+        f = shard_map(
+            jax.vmap(one), mesh=mesh,
+            in_specs=(P("data", None, None, None), P("data", None)),
+            out_specs=P("data"), check_vma=False)
+        return f(frames, keys)
+
+    return run
+
+
 def make_sharded_match(mesh: Mesh, axis: str = "model",
                        max_distance: int = 64, ratio: float = 0.8,
                        cross_check: bool = True):

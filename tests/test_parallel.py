@@ -116,6 +116,43 @@ def test_streaming_pipeline_matches_single():
             prev = cur
 
 
+def test_vo_streaming_matches_single_scan():
+    """Data-parallel VO trajectories == per-stream single-device scans."""
+    from pislam_tpu.models.visual_odometry import make_vo_scan
+
+    pyr = PyramidConfig(base_width=96, base_height=80, num_levels=2)
+    fe = FrontendConfig(fast_threshold=20, harris_threshold=1 << 10,
+                        border=16, max_keypoints=128)
+    cfg = PislamConfig(pyramid=pyr, frontend=fe)
+    fx = fy = 80.0
+    cx, cy = 48.0, 40.0
+
+    nb, t = 4, 3
+    frames = np.stack([
+        np.stack([oracles.make_test_image(pyr.base_height, pyr.base_width,
+                                          seed=100 * b + i)
+                  for i in range(t)])
+        for b in range(nb)
+    ])
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(nb, dtype=jnp.uint32))
+
+    m = meshmod.make_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+    run = dist.make_vo_streaming(cfg, fx, fy, cx, cy, m)
+    out = run(jnp.asarray(frames), keys)
+    assert out["R"].shape == (nb, t, 3, 3)
+    assert out["t"].shape == (nb, t, 3)
+
+    one = make_vo_scan(cfg, fx, fy, cx, cy)
+    for b in range(nb):
+        ref = one(jnp.asarray(frames[b]), keys[b])
+        np.testing.assert_allclose(np.asarray(out["R"][b]),
+                                   np.asarray(ref["R"]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out["t"][b]),
+                                   np.asarray(ref["t"]), atol=1e-5)
+        assert np.array_equal(np.asarray(out["accepted"][b]),
+                              np.asarray(ref["accepted"]))
+
+
 def test_sharded_match_matches_single():
     from pislam_tpu import matching
 
