@@ -74,6 +74,60 @@ def tum_dataset(root: str, capacity: int = 8):
     return paths, ts, gt
 
 
+def rotation_to_quaternion(R: np.ndarray) -> np.ndarray:
+    """(3, 3) rotation -> (x, y, z, w) unit quaternion (TUM convention).
+
+    Shepperd's method: branch on the largest diagonal combination for
+    numerical stability near 180-degree rotations.
+    """
+    m00, m11, m22 = R[0, 0], R[1, 1], R[2, 2]
+    tr = m00 + m11 + m22
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        w = 0.25 * s
+        x = (R[2, 1] - R[1, 2]) / s
+        y = (R[0, 2] - R[2, 0]) / s
+        z = (R[1, 0] - R[0, 1]) / s
+    elif m00 >= m11 and m00 >= m22:
+        s = np.sqrt(1.0 + m00 - m11 - m22) * 2
+        x = 0.25 * s
+        w = (R[2, 1] - R[1, 2]) / s
+        y = (R[0, 1] + R[1, 0]) / s
+        z = (R[0, 2] + R[2, 0]) / s
+    elif m11 >= m22:
+        s = np.sqrt(1.0 + m11 - m00 - m22) * 2
+        y = 0.25 * s
+        w = (R[0, 2] - R[2, 0]) / s
+        x = (R[0, 1] + R[1, 0]) / s
+        z = (R[1, 2] + R[2, 1]) / s
+    else:
+        s = np.sqrt(1.0 + m22 - m00 - m11) * 2
+        z = 0.25 * s
+        w = (R[1, 0] - R[0, 1]) / s
+        x = (R[0, 2] + R[2, 0]) / s
+        y = (R[1, 2] + R[2, 1]) / s
+    q = np.array([x, y, z, w], np.float64)
+    return q / np.linalg.norm(q)
+
+
+def save_tum_trajectory(path: str, timestamps, Rs, ts):
+    """Write a TUM-format trajectory: 't x y z qx qy qz qw' per line.
+
+    Rs/ts are world->camera (the estimator's convention); TUM stores the
+    camera pose in the world frame, so each line is c = -R^T t and the
+    quaternion of R^T. Round-trips with load_tum_trajectory (positions).
+    """
+    with open(path, "w") as f:
+        f.write("# pislam-tpu trajectory: timestamp tx ty tz qx qy qz qw\n")
+        for stamp, R, t in zip(timestamps, Rs, ts):
+            R = np.asarray(R, np.float64)
+            t = np.asarray(t, np.float64)
+            c = -R.T @ t
+            q = rotation_to_quaternion(R.T)
+            f.write(f"{float(stamp):.6f} {c[0]:.6f} {c[1]:.6f} {c[2]:.6f} "
+                    f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}\n")
+
+
 def load_kitti_poses(path: str) -> np.ndarray:
     """KITTI poses file: 12 floats per line (3x4 row-major). Returns
     (N, 3) camera positions (the translation column)."""

@@ -1,0 +1,190 @@
+"""Production SLAM service: stream frames -> tracked map + trajectory.
+
+The reference's only driver is a single-frame demo binary (demo.cpp:51-115).
+This is the long-running equivalent a deployment actually needs: a frame
+source (native prefetching PNG stream, TUM/KITTI layouts, or a committed
+.npz sequence) drives KeyframeSLAM with
+
+* structured per-frame telemetry (utils/metrics.py JSON lines),
+* periodic atomic checkpoints + resume (parallel/elastic.CheckpointedRunner
+  over the device-side SlamState pytree -- kill the process, rerun the same
+  command, it continues from the last checkpoint),
+* optional end-of-run loop closure + pose-graph optimisation,
+* TUM-format trajectory export (io/datasets.save_tum_trajectory) and a
+  final one-line JSON summary (ATE RMSE when ground truth is available).
+
+Run: python -m pislam_tpu.service --seq data/eval_seq.npz --traj-out traj.txt
+     python -m pislam_tpu.service --frames <dir> --fx 525 --fy 525 \
+         --checkpoint-dir /tmp/slam_ckpt --checkpoint-every 25 --metrics
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def build_config(w: int, h: int, levels: int = 4, max_keypoints: int = 512):
+    """Serving defaults: demo thresholds, VGA-class pyramid geometry."""
+    from .config import (BAConfig, FrontendConfig, MatcherConfig,
+                         PislamConfig, PyramidConfig, VOConfig)
+    return PislamConfig(
+        pyramid=PyramidConfig(base_width=w, base_height=h, num_levels=levels),
+        frontend=FrontendConfig(fast_threshold=20, harris_threshold=1 << 10,
+                                border=16, max_keypoints=max_keypoints),
+        matcher=MatcherConfig(max_distance=64, ratio=0.85),
+        vo=VOConfig(ransac_iters=256, inlier_threshold=2e-3, min_inliers=20),
+        ba=BAConfig(window=6, max_points=1024, max_obs=4096, gn_iters=4),
+    )
+
+
+def _frame_source(args):
+    """-> (iterable of (H, W) u8 frames, n_frames, (w, h), intrinsics, gt)."""
+    import numpy as np
+
+    if args.seq:
+        d = np.load(args.seq)
+        frames = d["frames"]
+        if args.max_frames:
+            frames = frames[: args.max_frames]
+        h, w = frames.shape[1:]
+        intr = ((float(d["fx"]), float(d["fy"]), float(d["cx"]),
+                 float(d["cy"])) if "fx" in d.files else None)
+        gt = None
+        if "Rs" in d.files:
+            gt = np.stack([-R.T @ t for R, t in
+                           zip(d["Rs"], d["ts"])])[: frames.shape[0]]
+        return iter(frames), frames.shape[0], (w, h), intr, gt
+
+    from .io import datasets
+    from .io.native import FrameStream
+
+    if args.tum:
+        paths, _ts, gt = datasets.tum_dataset(args.tum)
+    elif args.kitti:
+        paths, _ts, gt = datasets.kitti_dataset(args.kitti,
+                                                sequence=args.kitti_seq)
+    else:
+        import glob
+        paths = sorted(glob.glob(os.path.join(args.frames, "*.png")))
+        if not paths:
+            raise FileNotFoundError(f"no *.png in {args.frames}")
+        gt = None
+    if args.max_frames:
+        paths = paths[: args.max_frames]
+        gt = gt[: args.max_frames] if gt is not None else None
+    first = datasets.read_png(paths[0])
+    h, w = first.shape
+    return (iter(FrameStream(paths, width=w, height=h)), len(paths),
+            (w, h), None, gt)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--frames", help="directory of grayscale PNGs")
+    src.add_argument("--seq", help=".npz sequence (frames [, Rs, ts, fx..])")
+    src.add_argument("--tum", help="TUM-RGBD dataset root")
+    src.add_argument("--kitti", help="KITTI odometry root")
+    ap.add_argument("--kitti-seq", default="00")
+    ap.add_argument("--fx", type=float), ap.add_argument("--fy", type=float)
+    ap.add_argument("--cx", type=float), ap.add_argument("--cy", type=float)
+    ap.add_argument("--levels", type=int, default=4)
+    ap.add_argument("--max-keypoints", type=int, default=512)
+    ap.add_argument("--keyframe-min-inliers", type=int, default=60)
+    ap.add_argument("--keyframe-max-gap", type=int, default=3)
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--checkpoint-dir",
+                    help="periodic atomic checkpoints; rerunning the same "
+                         "command resumes from the last one")
+    ap.add_argument("--checkpoint-every", type=int, default=50)
+    ap.add_argument("--metrics", action="store_true",
+                    help="per-frame JSON telemetry on stderr")
+    ap.add_argument("--no-loop-close", action="store_true")
+    ap.add_argument("--traj-out", help="write TUM-format trajectory here")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the sitecustomize preloads "
+                         "the tunneled TPU platform; env vars alone are "
+                         "clobbered)")
+    args = ap.parse_args(argv)
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pislam_jax_cache")
+    import jax
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from .evaluation import ate_rmse
+    from .models.slam import KeyframeSLAM
+    from .utils.metrics import Metrics, NullMetrics
+
+    frames, n_frames, (w, h), intr, gt = _frame_source(args)
+    if args.fx is not None:
+        intr = (args.fx, args.fy if args.fy is not None else args.fx,
+                args.cx if args.cx is not None else w / 2.0,
+                args.cy if args.cy is not None else h / 2.0)
+    if intr is None:
+        intr = (0.9 * w, 0.9 * w, w / 2.0, h / 2.0)
+    fx, fy, cx, cy = intr
+
+    cfg = build_config(w, h, args.levels, args.max_keypoints)
+    metrics = (Metrics(sink=lambda s: print(s, file=sys.stderr, flush=True))
+               if args.metrics else NullMetrics())
+    slam = KeyframeSLAM(cfg, fx, fy, cx, cy,
+                        keyframe_min_inliers=args.keyframe_min_inliers,
+                        keyframe_max_gap=args.keyframe_max_gap,
+                        metrics=metrics)
+
+    poses = []  # (R, t) world->cam per processed frame
+
+    def step(state, frame):
+        slam.set_state(state)
+        out = slam.process(jnp.asarray(frame))
+        poses.append((out["pose_R"], out["pose_t"]))
+        if args.metrics:
+            metrics.emit(frame=len(poses) - 1)
+        return slam.state
+
+    if args.checkpoint_dir:
+        from .parallel.elastic import CheckpointedRunner
+        runner = CheckpointedRunner(step, args.checkpoint_dir,
+                                    every=args.checkpoint_every)
+        state = runner.resume(slam.state)
+        slam.set_state(state)
+        skipped = runner.steps_done  # frames covered by the checkpoint
+        runner.run(state, frames)
+    else:
+        skipped = 0
+        state = slam.state
+        for f in frames:
+            state = step(state, f)
+
+    loop = -1
+    if not args.no_loop_close and slam.num_keyframes >= 5:
+        loop = slam.try_close_loop()
+
+    if args.traj_out:
+        from .io.datasets import save_tum_trajectory
+        save_tum_trajectory(args.traj_out, range(skipped, n_frames),
+                            [p[0] for p in poses], [p[1] for p in poses])
+
+    report = {"metric": "slam_service", "frames": n_frames,
+              "resumed_at": skipped, "keyframes": slam.num_keyframes,
+              "landmarks": slam.num_landmarks,
+              "loop_closed_to_kf": int(loop)}
+    if gt is not None and skipped == 0 and len(poses) == n_frames:
+        est = np.stack([-R.T @ t for R, t in poses])
+        report["ate_rmse"] = round(float(ate_rmse(est, gt)), 4)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

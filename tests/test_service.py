@@ -1,0 +1,95 @@
+"""SLAM service CLI: run, telemetry, trajectory export, checkpoint/resume.
+
+Drives pislam_tpu.service.main on the committed sequence (the same config
+test_eval_sequence compiles, so executables come from the persistent
+cache). Covers the TUM trajectory round-trip and the kill-and-rerun resume
+path the service exists for.
+"""
+
+import json
+import os
+
+import numpy as np
+
+from pislam_tpu import service
+from pislam_tpu.io.datasets import (load_tum_trajectory,
+                                    rotation_to_quaternion,
+                                    save_tum_trajectory)
+
+DATA = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "data", "eval_seq.npz")
+
+
+def _quat_rotate(q, v):
+    """Rotate v by unit quaternion q=(x,y,z,w) -- independent oracle."""
+    x, y, z, w = q
+    u = np.array([x, y, z])
+    return v + 2 * np.cross(u, np.cross(u, v) + w * v)
+
+
+def test_rotation_to_quaternion_all_branches():
+    from pislam_tpu.geometry import se3
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    # random rotations + near-180-degree ones to hit every Shepperd branch
+    ws = list(rng.normal(0, 1.5, (8, 3)))
+    ws += [np.array([np.pi - 1e-4, 0, 0]), np.array([0, np.pi - 1e-4, 0]),
+           np.array([0, 0, np.pi - 1e-4])]
+    for w in ws:
+        R = np.asarray(se3.so3_exp(jnp.asarray(w, jnp.float32)), np.float64)
+        q = rotation_to_quaternion(R)
+        for v in np.eye(3):
+            np.testing.assert_allclose(_quat_rotate(q, v), R @ v, atol=1e-5)
+
+
+def test_tum_trajectory_roundtrip(tmp_path):
+    from pislam_tpu.geometry import se3
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(6)
+    Rs = [np.asarray(se3.so3_exp(jnp.asarray(w, jnp.float32)))
+          for w in rng.normal(0, 0.5, (5, 3))]
+    ts = [rng.normal(0, 1, 3).astype(np.float32) for _ in range(5)]
+    path = str(tmp_path / "traj.txt")
+    save_tum_trajectory(path, range(5), Rs, ts)
+    stamps, xyz = load_tum_trajectory(path)
+    assert stamps.shape == (5,)
+    want = np.stack([-R.T @ t for R, t in zip(Rs, ts)])
+    np.testing.assert_allclose(xyz, want, atol=1e-5)
+
+
+def test_service_run_and_resume(tmp_path, capsys):
+    traj = str(tmp_path / "traj.txt")
+    ckpt = str(tmp_path / "ckpt")
+
+    # run 1: five frames with checkpoints every 2 (last checkpoint at 4)
+    service.main(["--seq", DATA, "--max-frames", "5",
+                  "--checkpoint-dir", ckpt, "--checkpoint-every", "2"])
+    r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r1["frames"] == 5 and r1["resumed_at"] == 0
+    assert r1["keyframes"] >= 2
+
+    # run 2 ("restarted process"): extends to 8 frames, resumes from ckpt
+    service.main(["--seq", DATA, "--max-frames", "8",
+                  "--checkpoint-dir", ckpt, "--checkpoint-every", "2",
+                  "--traj-out", traj, "--metrics"])
+    cap = capsys.readouterr()
+    r2 = json.loads(cap.out.strip().splitlines()[-1])
+    assert r2["resumed_at"] == 5
+    assert r2["keyframes"] >= r1["keyframes"]
+    # per-frame telemetry went to stderr as JSON lines
+    mlines = [l for l in cap.err.splitlines() if l.startswith("{")]
+    assert len(mlines) == 3  # frames 5..7
+    assert all("time_ms.extract" in json.loads(l) for l in mlines)
+    # trajectory holds the frames processed in THIS run
+    stamps, xyz = load_tum_trajectory(traj)
+    assert stamps.tolist() == [5.0, 6.0, 7.0]
+    assert np.isfinite(xyz).all()
+
+
+def test_service_full_sequence_reports_ate(capsys):
+    service.main(["--seq", DATA, "--max-frames", "12"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["frames"] == 12
+    assert "ate_rmse" in rep and rep["ate_rmse"] < 0.5
