@@ -83,6 +83,78 @@ def init_state(cfg: PislamConfig, seed: int = 7) -> SlamState:
     )
 
 
+def insert_keyframe_state(cap: int, st: SlamState, feats: Features, pts,
+                          R, t, idx2, inliers, prev_slot, map_idx):
+    """Pure keyframe insertion: SlamState -> SlamState (jit/scan-safe).
+
+    Writes the keyframe ring slot, triangulates inlier matches against the
+    previous keyframe into new landmarks, and appends observation rows --
+    all functional updates on the fixed-shape state. Shared by the
+    host-driven KeyframeSLAM loop and the device-resident tracking scan
+    (slam_scan.py), so both insert identically.
+    """
+    num_kf = st.counters[0]
+    frame_id = st.counters[3]
+    slot = jnp.mod(num_kf, cap)
+    # ring eviction: observation rows of the overwritten keyframe
+    # would otherwise feed BA with a stale pose
+    evict = num_kf >= cap
+    obs = st.obs._replace(
+        valid=st.obs.valid & ~(evict & (st.obs.kf == slot)))
+    prev_R, prev_t = st.store.R[prev_slot], st.store.t[prev_slot]
+    p1 = st.store.pts[prev_slot]
+    prev_kp_valid = st.store.kp_valid[prev_slot]
+    store = kfs.insert_keyframe(st.store, slot, R, t, feats, frame_id,
+                                pts=pts, ordinal=num_kf)
+    # triangulate inlier matches prev_kf -> new_kf into landmarks
+    idx2c = jnp.clip(idx2, 0)
+    p2 = pts[idx2c]
+    X = triangulate.triangulate_two_view(prev_R, prev_t, R, t, p1, p2)
+    z1 = (X @ prev_R.T + prev_t)[:, 2]
+    z2 = (X @ R.T + t)[:, 2]
+    mask = (inliers & (idx2 >= 0) & prev_kp_valid
+            & feats.valid[idx2c] & (z1 > 1e-4) & (z2 > 1e-4)
+            & jnp.all(jnp.isfinite(X), axis=1))
+    # data association: current features already matched to a map
+    # landmark (map_idx from this frame's map tracking) must NOT be
+    # re-triangulated -- a duplicate landmark with an identical
+    # descriptor would make the Lowe ratio test kill every future
+    # map match of that point. They get an observation row instead.
+    matched_lm = map_idx[idx2c]           # (K,) lm slot or -1
+    exist = mask & (matched_lm >= 0)
+    new = mask & (matched_lm < 0)
+    desc_anchor = feats.descriptors[idx2c]
+    lmap, obs, lm_cur, obs_cur = kfs.add_landmarks(
+        st.lmap, obs, st.counters[1], st.counters[2],
+        X, desc_anchor, new, prev_slot, slot, p1, p2)
+    lmap, obs, obs_cur = kfs.add_observations(
+        lmap, obs, obs_cur, slot, jnp.clip(matched_lm, 0), p2, exist)
+    counters = jnp.stack([
+        num_kf + 1, lm_cur, obs_cur, st.counters[3], st.counters[4],
+    ]).astype(jnp.int32)
+    return SlamState(store, lmap, obs, counters, st.key)
+
+
+def track_map_state(cfg: PislamConfig, lmap: kfs.LandmarkMap, feats: Features,
+                    pts, R0, t0):
+    """Pure local-map tracking: match features to landmark descriptors and
+    refine the pose with motion-only BA. Shared by the host loop and the
+    tracking scan. Returns (R, t, num_inliers, assoc)."""
+    mc = cfg.map
+    idx, _ = matching.match(
+        feats.descriptors, lmap.descriptors, feats.valid, lmap.valid,
+        max_distance=mc.map_match_max_distance,
+        ratio=cfg.matcher.ratio, cross_check=True)
+    ok = idx >= 0
+    xyz = lmap.xyz[jnp.clip(idx, 0)]
+    out = pnp.motion_only_ba(
+        R0, t0, xyz, pts, ok, iters=mc.pnp_iters,
+        inlier_threshold=mc.pnp_inlier_threshold)
+    # only reprojection-inlier associations feed data association
+    assoc = jnp.where(out["inliers"], idx, -1)
+    return out["R"], out["t"], out["num_inliers"], assoc
+
+
 class KeyframeSLAM:
     def __init__(self, cfg: PislamConfig, fx, fy, cx, cy, features_fn=None,
                  keyframe_min_inliers: int = 60, keyframe_max_gap: int = 10,
@@ -125,6 +197,8 @@ class KeyframeSLAM:
                 cross_check=cfg.matcher.cross_check)[1])
         self._insert = self._build_insert()
         self._track_map = self._build_track_map()
+        self._has_image_frontend = features_fn is None
+        self._chunk_scan = None  # built lazily by process_chunk
 
     # -- state / checkpointing ----------------------------------------------
 
@@ -165,74 +239,12 @@ class KeyframeSLAM:
     # -- jitted pieces ------------------------------------------------------
 
     def _build_insert(self):
-        cap = self.capacity
-
-        @jax.jit
-        def insert(st: SlamState, feats: Features, pts, R, t, idx2, inliers,
-                   prev_slot, map_idx):
-            num_kf = st.counters[0]
-            frame_id = st.counters[3]
-            slot = jnp.mod(num_kf, cap)
-            # ring eviction: observation rows of the overwritten keyframe
-            # would otherwise feed BA with a stale pose
-            evict = num_kf >= cap
-            obs = st.obs._replace(
-                valid=st.obs.valid & ~(evict & (st.obs.kf == slot)))
-            prev_R, prev_t = st.store.R[prev_slot], st.store.t[prev_slot]
-            p1 = st.store.pts[prev_slot]
-            prev_kp_valid = st.store.kp_valid[prev_slot]
-            store = kfs.insert_keyframe(st.store, slot, R, t, feats, frame_id,
-                                        pts=pts, ordinal=num_kf)
-            # triangulate inlier matches prev_kf -> new_kf into landmarks
-            idx2c = jnp.clip(idx2, 0)
-            p2 = pts[idx2c]
-            X = triangulate.triangulate_two_view(prev_R, prev_t, R, t, p1, p2)
-            z1 = (X @ prev_R.T + prev_t)[:, 2]
-            z2 = (X @ R.T + t)[:, 2]
-            mask = (inliers & (idx2 >= 0) & prev_kp_valid
-                    & feats.valid[idx2c] & (z1 > 1e-4) & (z2 > 1e-4)
-                    & jnp.all(jnp.isfinite(X), axis=1))
-            # data association: current features already matched to a map
-            # landmark (map_idx from this frame's map tracking) must NOT be
-            # re-triangulated -- a duplicate landmark with an identical
-            # descriptor would make the Lowe ratio test kill every future
-            # map match of that point. They get an observation row instead.
-            matched_lm = map_idx[idx2c]           # (K,) lm slot or -1
-            exist = mask & (matched_lm >= 0)
-            new = mask & (matched_lm < 0)
-            desc_anchor = feats.descriptors[idx2c]
-            lmap, obs, lm_cur, obs_cur = kfs.add_landmarks(
-                st.lmap, obs, st.counters[1], st.counters[2],
-                X, desc_anchor, new, prev_slot, slot, p1, p2)
-            lmap, obs, obs_cur = kfs.add_observations(
-                lmap, obs, obs_cur, slot, jnp.clip(matched_lm, 0), p2, exist)
-            counters = jnp.stack([
-                num_kf + 1, lm_cur, obs_cur, st.counters[3], st.counters[4],
-            ]).astype(jnp.int32)
-            return SlamState(store, lmap, obs, counters, st.key)
-
-        return insert
+        return jax.jit(partial(insert_keyframe_state, self.capacity))
 
     def _build_track_map(self):
         cfg = self.cfg
-        mc = cfg.map
-
-        @jax.jit
-        def track(lmap: kfs.LandmarkMap, feats: Features, pts, R0, t0):
-            idx, _ = matching.match(
-                feats.descriptors, lmap.descriptors, feats.valid, lmap.valid,
-                max_distance=mc.map_match_max_distance,
-                ratio=cfg.matcher.ratio, cross_check=True)
-            ok = idx >= 0
-            xyz = lmap.xyz[jnp.clip(idx, 0)]
-            out = pnp.motion_only_ba(
-                R0, t0, xyz, pts, ok, iters=mc.pnp_iters,
-                inlier_threshold=mc.pnp_inlier_threshold)
-            # only reprojection-inlier associations feed data association
-            assoc = jnp.where(out["inliers"], idx, -1)
-            return out["R"], out["t"], out["num_inliers"], assoc
-
-        return track
+        return jax.jit(lambda lmap, feats, pts, R0, t0: track_map_state(
+            cfg, lmap, feats, pts, R0, t0))
 
     # -- internal -----------------------------------------------------------
 
@@ -334,6 +346,47 @@ class KeyframeSLAM:
         m.gauge("num_observations", self._num_obs)
         return {"pose_R": R, "pose_t": t, "keyframe": make_kf,
                 "num_inliers": n_inl, "map_inliers": n_map}
+
+    def process_chunk(self, frames):
+        """Track a chunk of frames in ONE device dispatch (slam_scan.py).
+
+        The whole per-frame tracking path -- extraction, matching, RANSAC,
+        map PnP, keyframe decision and insertion -- runs inside a lax.scan
+        over the SlamState pytree; windowed BA then runs once on the host
+        if the chunk inserted keyframes (the local-mapping-thread pattern).
+        chunk size 1 reproduces process() exactly (tests/test_slam_scan.py);
+        larger chunks amortise the tunnel's per-dispatch/sync cost over T
+        frames at a small, measured accuracy cost. Only available with the
+        real image frontend (an injected features_fn is host code and
+        cannot be traced into the scan). Returns the per-frame outputs dict.
+        """
+        if not self._has_image_frontend:
+            raise ValueError("process_chunk requires the image frontend "
+                             "(features_fn is host code)")
+        if self._chunk_scan is None:
+            from .slam_scan import make_slam_track_scan
+            self._chunk_scan = make_slam_track_scan(
+                self.cfg, self.vo.fx, self.vo.fy, self.vo.cx, self.vo.cy,
+                keyframe_min_inliers=self.keyframe_min_inliers,
+                keyframe_max_gap=self.keyframe_max_gap)
+        frames = jnp.asarray(frames)
+        m = self.metrics
+        n_kf_before = self._num_kf
+        with m.timer("scan_chunk"):
+            st, outs = self._chunk_scan(self.state, frames)
+            self.set_state(st)  # one counters readback per chunk
+        m.count("frames", frames.shape[0])
+        m.count("keyframes_inserted", self._num_kf - n_kf_before)
+        for R, t in zip(np.asarray(outs["pose_R"]),
+                        np.asarray(outs["pose_t"])):
+            self.trajectory.append(-R.T @ t)
+        if self._num_kf > n_kf_before and self._num_kf >= 2:
+            with m.timer("insert_ba"):
+                self._local_ba()
+        m.gauge("num_keyframes", self.num_keyframes)
+        m.gauge("num_landmarks", self._num_lm)
+        m.gauge("num_observations", self._num_obs)
+        return outs
 
     def _insert_keyframe(self, feats, pts, R, t, idx2, inliers, prev_slot,
                          map_idx=None):

@@ -96,6 +96,12 @@ def main(argv=None):
     ap.add_argument("--keyframe-min-inliers", type=int, default=60)
     ap.add_argument("--keyframe-max-gap", type=int, default=3)
     ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--chunk", type=int, default=1,
+                    help="frames per device dispatch: 1 = per-frame loop; "
+                         ">1 runs the device-resident tracking scan "
+                         "(models/slam_scan.py) with window BA at chunk "
+                         "boundaries -- amortises the tunnel's dispatch/sync "
+                         "cost over the chunk")
     ap.add_argument("--checkpoint-dir",
                     help="periodic atomic checkpoints; rerunning the same "
                          "command resumes from the last one")
@@ -145,27 +151,48 @@ def main(argv=None):
 
     poses = []  # (R, t) world->cam per processed frame
 
-    def step(state, frame):
+    def step(state, item):
         slam.set_state(state)
-        out = slam.process(jnp.asarray(frame))
-        poses.append((out["pose_R"], out["pose_t"]))
+        if np.ndim(item) == 3:  # a chunk: one device dispatch for the lot
+            outs = slam.process_chunk(np.asarray(item))
+            for R, t in zip(np.asarray(outs["pose_R"]),
+                            np.asarray(outs["pose_t"])):
+                poses.append((R, t))
+        else:
+            out = slam.process(jnp.asarray(item))
+            poses.append((out["pose_R"], out["pose_t"]))
         if args.metrics:
-            metrics.emit(frame=len(poses) - 1)
+            metrics.emit(frames_done=len(poses))
         return slam.state
+
+    if args.chunk > 1:
+        def chunked(it, n):
+            buf = []
+            for f in it:
+                buf.append(np.asarray(f))
+                if len(buf) == n:
+                    yield np.stack(buf)
+                    buf = []
+            if buf:
+                yield np.stack(buf)
+        items = chunked(frames, args.chunk)
+        ckpt_every = max(1, -(-args.checkpoint_every // args.chunk))
+    else:
+        items = frames
+        ckpt_every = args.checkpoint_every
 
     if args.checkpoint_dir:
         from .parallel.elastic import CheckpointedRunner
         runner = CheckpointedRunner(step, args.checkpoint_dir,
-                                    every=args.checkpoint_every)
+                                    every=ckpt_every)
         state = runner.resume(slam.state)
         slam.set_state(state)
-        skipped = runner.steps_done  # frames covered by the checkpoint
-        runner.run(state, frames)
+        runner.run(state, items)
     else:
-        skipped = 0
         state = slam.state
-        for f in frames:
-            state = step(state, f)
+        for it in items:
+            state = step(state, it)
+    skipped = n_frames - len(poses)  # frames covered by a restored checkpoint
 
     loop = -1
     if not args.no_loop_close and slam.num_keyframes >= 5:

@@ -93,3 +93,16 @@ def test_service_full_sequence_reports_ate(capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["frames"] == 12
     assert "ate_rmse" in rep and rep["ate_rmse"] < 0.5
+
+
+def test_service_chunked_scan_mode(tmp_path, capsys):
+    """--chunk N drives the device-resident tracking scan."""
+    traj = str(tmp_path / "traj.txt")
+    service.main(["--seq", DATA, "--max-frames", "12", "--chunk", "6",
+                  "--traj-out", traj])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["frames"] == 12 and rep["resumed_at"] == 0
+    assert rep["keyframes"] >= 2
+    assert "ate_rmse" in rep and rep["ate_rmse"] < 0.5
+    stamps, xyz = load_tum_trajectory(traj)
+    assert stamps.shape == (12,) and np.isfinite(xyz).all()
