@@ -124,6 +124,46 @@ def make_vo_streaming(cfg: PislamConfig, fx: float, fy: float,
     return run
 
 
+def make_slam_streaming(cfg: PislamConfig, fx: float, fy: float,
+                        cx: float, cy: float, mesh: Mesh,
+                        keyframe_min_inliers: int = 60,
+                        keyframe_max_gap: int = 10):
+    """Data-parallel multi-session SLAM: one independent map per stream.
+
+    frames (B, T, H, W) uint8 with B sharded on "data"; states a SlamState
+    batch (leading axis B, see ``batch_slam_states``). Each device runs the
+    device-resident tracking scan (models/slam_scan.py) over its streams --
+    B independent SLAM sessions (separate keyframe rings / landmark maps)
+    advance T frames in ONE dispatch. This is the dataset-sweep / fleet
+    shape: map a directory of sequences over the pod, collect trajectories
+    and final map states (checkpointable per stream). Returns a jitted
+    (states, frames) -> (states, outs) with outs stacked (B, T, ...).
+    """
+    from ..models.slam_scan import make_slam_track_scan
+
+    one = make_slam_track_scan(
+        cfg, fx, fy, cx, cy, keyframe_min_inliers=keyframe_min_inliers,
+        keyframe_max_gap=keyframe_max_gap)
+
+    @jax.jit
+    def run(states, frames):
+        f = shard_map(
+            jax.vmap(one), mesh=mesh,
+            in_specs=(P("data"), P("data", None, None, None)),
+            out_specs=P("data"), check_vma=False)
+        return f(states, frames)
+
+    return run
+
+
+def batch_slam_states(cfg: PislamConfig, n: int, seed: int = 7):
+    """Stack n fresh SlamStates (distinct PRNG keys) along a leading axis."""
+    from ..models.slam import init_state
+
+    states = [init_state(cfg, seed=seed + i) for i in range(n)]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
 def make_sharded_match(mesh: Mesh, axis: str = "model",
                        max_distance: int = 64, ratio: float = 0.8,
                        cross_check: bool = True):

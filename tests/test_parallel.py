@@ -153,6 +153,49 @@ def test_vo_streaming_matches_single_scan():
                               np.asarray(ref["accepted"]))
 
 
+def test_slam_streaming_matches_single_scan():
+    """Data-parallel multi-session SLAM == per-stream single-device scans."""
+    from pislam_tpu.models.slam import init_state
+    from pislam_tpu.models.slam_scan import make_slam_track_scan
+
+    pyr = PyramidConfig(base_width=96, base_height=80, num_levels=2)
+    fe = FrontendConfig(fast_threshold=20, harris_threshold=1 << 10,
+                        border=16, max_keypoints=128)
+    cfg = PislamConfig(pyramid=pyr, frontend=fe)
+    fx = fy = 80.0
+    cx, cy = 48.0, 40.0
+
+    nb, t = 4, 3
+    frames = np.stack([
+        np.stack([oracles.make_test_image(pyr.base_height, pyr.base_width,
+                                          seed=200 * b + i)
+                  for i in range(t)])
+        for b in range(nb)
+    ])
+
+    m = meshmod.make_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+    run = dist.make_slam_streaming(cfg, fx, fy, cx, cy, m,
+                                   keyframe_min_inliers=40,
+                                   keyframe_max_gap=2)
+    states = dist.batch_slam_states(cfg, nb)
+    states, outs = run(states, jnp.asarray(frames))
+    assert outs["pose_R"].shape == (nb, t, 3, 3)
+    # every session bootstrapped its own map (frame 0 is a keyframe)
+    assert np.asarray(outs["keyframe"])[:, 0].all()
+    assert (np.asarray(states.counters)[:, 0] >= 1).all()
+
+    one = make_slam_track_scan(cfg, fx, fy, cx, cy,
+                               keyframe_min_inliers=40, keyframe_max_gap=2)
+    for b in range(nb):
+        st_b, ref = one(init_state(cfg, seed=7 + b), jnp.asarray(frames[b]))
+        np.testing.assert_allclose(np.asarray(outs["pose_t"][b]),
+                                   np.asarray(ref["pose_t"]), atol=1e-5)
+        assert np.array_equal(np.asarray(outs["keyframe"][b]),
+                              np.asarray(ref["keyframe"]))
+        assert np.array_equal(np.asarray(states.counters[b]),
+                              np.asarray(st_b.counters))
+
+
 def test_sharded_match_matches_single():
     from pislam_tpu import matching
 
