@@ -405,9 +405,9 @@ class KeyframeSLAM:
 
     # -- bundle adjustment --------------------------------------------------
 
-    def _window(self):
-        """(ordinals, slots) of the current BA window, oldest first."""
-        w = min(self.cfg.ba.window, self._num_kf)
+    def _window(self, size: Optional[int] = None):
+        """(ordinals, slots) of the newest `size` keyframes, oldest first."""
+        w = min(size or self.cfg.ba.window, self._num_kf)
         base = self._num_kf - w
         ordinals = list(range(base, self._num_kf))
         return ordinals, [o % self.capacity for o in ordinals]
@@ -415,6 +415,29 @@ class KeyframeSLAM:
     def _local_ba(self):
         bc = self.cfg.ba
         ordinals, slots = self._window()
+        self._run_ba(ordinals, slots, C=bc.window, max_points=bc.max_points,
+                     max_obs=bc.max_obs, iters=bc.gn_iters)
+
+    def global_ba(self, iters: Optional[int] = None):
+        """Full-map bundle adjustment: ALL stored keyframes + landmarks.
+
+        The offline/loop-closure refinement pass: after the pose graph has
+        moved keyframe poses, landmarks still sit where the pre-closure
+        poses triangulated them -- one global BA re-converges the whole map
+        (gauge: the oldest stored keyframe is held fixed, ba.py). Same
+        fixed-shape Schur machinery as the windowed pass, sized to the
+        store capacity instead of the sliding window.
+        """
+        mc, bc = self.cfg.map, self.cfg.ba
+        ordinals, slots = self._window(size=self.capacity)
+        with self.metrics.timer("global_ba"):
+            self._run_ba(ordinals, slots, C=self.capacity,
+                         max_points=mc.max_landmarks, max_obs=mc.max_obs,
+                         iters=iters or bc.gn_iters)
+
+    def _run_ba(self, ordinals, slots, C: int, max_points: int,
+                max_obs: int, iters: int):
+        bc = self.cfg.ba
         if len(ordinals) < 2 or self._num_obs == 0:
             return
         base = ordinals[0]
@@ -432,16 +455,16 @@ class KeyframeSLAM:
         sel_idx = np.where(sel)[0]
         if len(sel_idx) == 0:
             return
-        lm_slots = np.unique(obs_lm[sel_idx])[:bc.max_points]
+        lm_slots = np.unique(obs_lm[sel_idx])[:max_points]
         # local point index of each selected row (sorted-unique -> searchsorted)
         pos = np.searchsorted(lm_slots, obs_lm[sel_idx])
         in_window = (pos < len(lm_slots)) & \
             (lm_slots[np.minimum(pos, len(lm_slots) - 1)] == obs_lm[sel_idx])
-        rows = sel_idx[in_window][:bc.max_obs]
+        rows = sel_idx[in_window][:max_obs]
         if len(rows) == 0:
             return
 
-        O, P_, C = bc.max_obs, bc.max_points, bc.window
+        O, P_ = max_obs, max_points
         obs_cam = np.zeros(O, np.int32)
         obs_pt = np.zeros(O, np.int32)
         uv = np.zeros((O, 2), np.float32)
@@ -471,8 +494,7 @@ class KeyframeSLAM:
             obs_cam=jnp.asarray(obs_cam), obs_pt=jnp.asarray(obs_pt),
             obs_uv=jnp.asarray(uv), obs_valid=jnp.asarray(ov),
             cam_valid=jnp.asarray(cam_valid), pt_valid=jnp.asarray(pt_valid))
-        out, _ = ba.bundle_adjust(prob, iters=bc.gn_iters,
-                                  damping=bc.damping)
+        out, _ = ba.bundle_adjust(prob, iters=iters, damping=bc.damping)
 
         sl = jnp.asarray(np.int32(slots))
         store = st.store._replace(

@@ -197,6 +197,9 @@ def main(argv=None):
     loop = -1
     if not args.no_loop_close and slam.num_keyframes >= 5:
         loop = slam.try_close_loop()
+        if loop >= 0:
+            # pose graph moved the keyframes; re-converge the landmarks
+            slam.global_ba()
 
     if args.traj_out:
         from .io.datasets import save_tum_trajectory

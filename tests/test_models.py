@@ -135,6 +135,29 @@ def test_pose_graph_refines_keyframes():
     assert np.abs(after - before).max() < 0.05
 
 
+def test_global_ba_refines_full_map():
+    """global_ba over ALL keyframes+landmarks keeps/improves the map and
+    stays consistent (the loop-closure follow-up pass)."""
+    xyz, desc = make_world(seed=9)
+    Rs, ts = make_trajectory(20)
+    cfg = tiny_cfg()
+    slam = KeyframeSLAM(cfg, FX, FY, CX, CY,
+                        features_fn=projector(xyz, desc, Rs, ts),
+                        keyframe_min_inliers=220, keyframe_max_gap=4)
+    for i in range(20):
+        slam.process(i)
+    assert len(slam.keyframes) >= 4
+    gt = np.stack([-Rs[f].T @ ts[f] for f in slam.keyframe_frames])
+    before = ate_rmse(slam.keyframe_positions(), gt, with_scale=True)
+    xyz_before = np.asarray(slam._st.lmap.xyz)
+    slam.global_ba()
+    after = ate_rmse(slam.keyframe_positions(), gt, with_scale=True)
+    assert np.isfinite(np.asarray(slam._st.lmap.xyz)).all()
+    assert after <= before + 0.02, (before, after)
+    # the pass is not a silent no-op: landmarks actually moved (refined)
+    assert not np.array_equal(np.asarray(slam._st.lmap.xyz), xyz_before)
+
+
 def test_relocalise_and_loop_detection():
     xyz, desc = make_world(seed=4)
     # out-and-back trajectory: the last frames revisit the first poses
