@@ -175,6 +175,45 @@ def add_landmarks(lmap: LandmarkMap, obs: ObservationTable,
     return new_map, new_obs, new_lm_cursor, new_obs_cursor
 
 
+def cull_landmarks(store: KeyframeStore, lmap: LandmarkMap,
+                   obs: ObservationTable, max_residual: float,
+                   min_obs: int = 2, bad_fraction: float = 0.5):
+    """Invalidate unreliable landmarks + their observation rows (pure).
+
+    Map maintenance in the ORB-SLAM mould: a landmark is culled when the
+    majority of its observations reproject badly against the CURRENT
+    keyframe poses (outliers from wrong associations or bad triangulation
+    poison PnP tracking and BA), or when it is supported by fewer than
+    ``min_obs`` observations. Residuals are normalised-coordinate
+    distances; behind-camera projections count as bad. All fixed-shape
+    segment reductions -- jit/scan safe. Returns (lmap, obs).
+    """
+    # residual of every observation row under current poses
+    Rk = store.R[obs.kf]                       # (O, 3, 3)
+    tk = store.t[obs.kf]                       # (O, 3)
+    X = lmap.xyz[obs.lm]                       # (O, 3)
+    xc = jnp.einsum("oij,oj->oi", Rk, X) + tk
+    z = xc[:, 2]
+    proj = xc[:, :2] / jnp.where(z == 0, 1.0, z)[:, None]
+    err = jnp.linalg.norm(proj - obs.uv, axis=1)
+    row_bad = obs.valid & ((err > max_residual) | (z <= 1e-6))
+
+    L = lmap.capacity
+    seg = jnp.where(obs.valid, obs.lm, L)      # invalid rows -> dropped
+    n_bad = jnp.zeros(L, jnp.int32).at[seg].add(
+        row_bad.astype(jnp.int32), mode="drop")
+    n_tot = jnp.zeros(L, jnp.int32).at[seg].add(
+        obs.valid.astype(jnp.int32), mode="drop")
+    cull = lmap.valid & (
+        (n_bad.astype(jnp.float32)
+         > bad_fraction * n_tot.astype(jnp.float32))
+        | (n_tot < min_obs))
+    new_map = lmap._replace(valid=lmap.valid & ~cull,
+                            obs_count=jnp.where(cull, 0, n_tot))
+    new_obs = obs._replace(valid=obs.valid & ~cull[obs.lm])
+    return new_map, new_obs
+
+
 def add_observations(lmap: LandmarkMap, obs: ObservationTable, obs_cursor,
                      kf_slot, lm_slot, uv, mask):
     """Append observation rows of EXISTING landmarks (data association).

@@ -506,6 +506,27 @@ class KeyframeSLAM:
         self._st = st._replace(store=store, lmap=lmap)
         self._cache_last((self._num_kf - 1) % self.capacity)
 
+    def cull_landmarks(self, max_residual: Optional[float] = None,
+                       min_obs: int = 2):
+        """Map maintenance: drop landmarks that reproject badly against the
+        current keyframe poses or have too little support (ORB-SLAM-style
+        culling; backend/keyframes.py:cull_landmarks). Run after BA / loop
+        closure so residuals reflect refined poses. Returns the number of
+        landmarks culled. Slots are invalidated, not reclaimed (the
+        fixed-capacity map drops newest-first when full)."""
+        mc = self.cfg.map
+        thr = (max_residual if max_residual is not None
+               else 2.0 * mc.pnp_inlier_threshold)
+        st = self._st
+        with self.metrics.timer("cull"):
+            before = int(jnp.sum(st.lmap.valid))
+            lmap, obs = jax.jit(kfs.cull_landmarks)(
+                st.store, st.lmap, st.obs, thr, min_obs)
+            culled = before - int(jnp.sum(lmap.valid))
+        self._st = st._replace(lmap=lmap, obs=obs)
+        self.metrics.count("landmarks_culled", culled)
+        return culled
+
     # -- loop closure / relocalisation --------------------------------------
 
     def match_keyframe(self, feats, pts, exclude_recent: int = 0,

@@ -198,8 +198,10 @@ def main(argv=None):
     if not args.no_loop_close and slam.num_keyframes >= 5:
         loop = slam.try_close_loop()
         if loop >= 0:
-            # pose graph moved the keyframes; re-converge the landmarks
+            # pose graph moved the keyframes; re-converge the landmarks,
+            # then drop the ones that still reproject badly
             slam.global_ba()
+            slam.cull_landmarks()
 
     if args.traj_out:
         from .io.datasets import save_tum_trajectory

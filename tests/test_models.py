@@ -158,6 +158,42 @@ def test_global_ba_refines_full_map():
     assert not np.array_equal(np.asarray(slam._st.lmap.xyz), xyz_before)
 
 
+def test_cull_landmarks_drops_corrupted():
+    """Reprojection-based culling: corrupted landmarks (and their obs rows)
+    are invalidated, healthy ones survive, tracking continues."""
+    import jax.numpy as jnp
+
+    xyz, desc = make_world(seed=12)
+    Rs, ts = make_trajectory(18)
+    cfg = tiny_cfg()
+    slam = KeyframeSLAM(cfg, FX, FY, CX, CY,
+                        features_fn=projector(xyz, desc, Rs, ts),
+                        keyframe_min_inliers=220, keyframe_max_gap=4)
+    for i in range(17):
+        slam.process(i)
+    valid_before = np.asarray(slam._st.lmap.valid)
+    n_before = int(valid_before.sum())
+    assert n_before > 40
+    # corrupt 10 live landmarks far off their true positions
+    idx = np.where(valid_before)[0][:10]
+    bad_xyz = np.asarray(slam._st.lmap.xyz).copy()
+    bad_xyz[idx] += 7.0
+    slam._st = slam._st._replace(
+        lmap=slam._st.lmap._replace(xyz=jnp.asarray(bad_xyz)))
+
+    culled = slam.cull_landmarks()
+    v = np.asarray(slam._st.lmap.valid)
+    assert culled >= 10
+    assert not v[idx].any()                      # corrupted ones are gone
+    assert v.sum() >= 0.6 * n_before             # healthy majority survives
+    obs = slam._st.obs
+    assert not (np.asarray(obs.valid)
+                & np.isin(np.asarray(obs.lm), idx)).any()
+    # the pruned map still tracks
+    out = slam.process(17)
+    assert out["map_inliers"] >= cfg.map.min_map_inliers
+
+
 def test_relocalise_and_loop_detection():
     xyz, desc = make_world(seed=4)
     # out-and-back trajectory: the last frames revisit the first poses
