@@ -129,6 +129,49 @@ def main():
                           "efficiency")
     print(json.dumps(report))
 
+    # ---- multi-session SLAM weak scaling: one full map per stream ----
+    slam_t = 8
+    fx = fy = 0.9 * pyr.base_width
+    cx_, cy_ = pyr.base_width / 2.0, pyr.base_height / 2.0
+    sl_results = {}
+    for n in sizes:
+        mesh = meshmod.make_mesh(
+            MeshConfig(data_parallel=n, model_parallel=1),
+            devices=jax.devices()[:n])
+        run = dist.make_slam_streaming(cfg, fx, fy, cx_, cy_, mesh,
+                                       keyframe_min_inliers=40,
+                                       keyframe_max_gap=4)
+        states = dist.batch_slam_states(cfg, n)
+        frames = rng.integers(
+            0, 256, (n, slam_t, pyr.base_height, pyr.base_width), np.uint8)
+        fr = jax.device_put(frames)
+        out = run(states, fr)
+        jax.block_until_ready(out)
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            out = run(states, fr)
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        sl_results[n] = (n * slam_t) / float(np.median(times))
+
+    sl_base = sl_results[sizes[0]]
+    report = {
+        "metric": "multi_session_slam_weak_scaling",
+        "platform": jax.default_backend(),
+        "frames_per_stream": slam_t,
+        "frames_per_s": {str(n): round(v, 2) for n, v in sl_results.items()},
+        "efficiency": {
+            str(n): round(sl_results[n] / (sl_base * n), 3) for n in sizes},
+    }
+    if jax.default_backend() == "cpu":
+        report["sharding_overhead_vs_1dev"] = {
+            str(n): round(sl_base / sl_results[n], 3) for n in sizes}
+        report["note"] = ("cpu virtual devices share cores; see "
+                          "sharding_overhead_vs_1dev (ideal 1.0), not "
+                          "efficiency")
+    print(json.dumps(report))
+
     # ---- distributed BA weak scaling: GN iterations/s over the mesh ----
     sys.path.insert(0, os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
