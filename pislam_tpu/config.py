@@ -109,10 +109,18 @@ class FrontendConfig:
     # tools/ab_frontend.py). Bit-exact either way; the XLA path remains the
     # oracle and the CPU/bucketed fallback.
     fused_upstream: bool = True
+    # BRIEF rotation-select kernel: "dense" runs all 30 rotation matmuls
+    # per block and selects (pallas_kernels.orb_select_bits); "sorted"
+    # computes angles first, sorts keypoints by bin and skips rotations
+    # outside each block's bin range (orb_select_bits_sorted). Bit-exact
+    # either way; A/B on hardware via tools/ab_orb_sort.py /
+    # tools/ab_frontend.py decides the default.
+    brief_variant: str = "dense"
 
     def __post_init__(self):
         assert self.border >= 16, "border must cover FAST(3)+Harris(4)+ORB(15)"
         assert 1 <= self.words <= 8
+        assert self.brief_variant in ("dense", "sorted")
 
 
 @dataclasses.dataclass(frozen=True)

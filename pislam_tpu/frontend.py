@@ -105,7 +105,8 @@ def _extract_impl(img, level_mask, cfg: PislamConfig) -> Features:
     xs = codec.decode_x(codes).astype(jnp.int32)
     ys = codec.decode_y(codes).astype(jnp.int32)
     flat = patches.gather_patches_packed_s8(img, xs, ys, valid)
-    angles, desc = brief.orb_compute_packed(flat, fc.words)
+    angles, desc = brief.orb_compute_packed(flat, fc.words,
+                                            variant=fc.brief_variant)
     desc = jnp.where(valid[:, None], desc, jnp.uint32(0))
     angles = jnp.where(valid, angles, jnp.uint8(0))
     return Features(codes=codes, valid=valid, angles=angles, descriptors=desc)

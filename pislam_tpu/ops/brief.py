@@ -117,26 +117,30 @@ def _pack_bits_u8(bits, words: int):
     return jnp.sum(b << shifts, axis=-1, dtype=jnp.uint32)
 
 
-def orb_compute_packed(flat, words: int = 8):
+def orb_compute_packed(flat, words: int = 8, variant: str = "dense"):
     """Fused orientation + descriptors from packed windows.
 
     (K, 1024) packed int8 windows -> ((K,) uint8 angle bins, (K, words) u32).
 
-    Off-CPU: the fused Pallas kernel (pallas_kernels.orb_select_bits)
-    computes the disc moments, the atan2 angle bins AND each keypoint's own
-    rotation's sign bits in one pass, with the difference matrix resident
-    in VMEM -- the (K, 30*256) i32 intermediate of the dense formulation
-    (62 MB at K=2048) never exists.
+    Off-CPU: a fused Pallas kernel computes the disc moments, the atan2
+    angle bins AND each keypoint's own rotation's sign bits with the
+    difference matrix resident in VMEM -- the (K, 30*256) i32 intermediate
+    of the all-rotations formulation (62 MB at K=2048) never exists.
+    ``variant`` picks the kernel: "dense" (orb_select_bits, 30 dots per
+    block) or "sorted" (orb_select_bits_sorted, angle-sort + rotation
+    skip). Bit-exact either way.
 
     CPU fallback: one MXU matmul computes the p1-p0 differences for all 30
     rotations AND the image moments (the centroid weight columns ride along
-    as two extra int8 columns), then selects per keypoint. Both paths are
+    as two extra int8 columns), then selects per keypoint. All paths are
     bit-exact vs centroids_packed + atan2_bins + describe_packed.
     """
     from . import pallas_kernels as pk
 
     if jax.default_backend() != "cpu":
-        ang, bits = pk.orb_select_bits(flat, jnp.asarray(_gm_packed()))
+        kernel = (pk.orb_select_bits_sorted if variant == "sorted"
+                  else pk.orb_select_bits)
+        ang, bits = kernel(flat, jnp.asarray(_gm_packed()))
         return ang.astype(jnp.uint8), _pack_bits_u8(bits, words)
     return _orb_compute_packed_dense(flat, words)
 

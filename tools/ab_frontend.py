@@ -52,15 +52,17 @@ def main():
     import os as _os
     sel = _os.environ.get("AB_VARIANTS", "").split(",")
     allv = [
-        ("xla+pallas-brief", False, None),
-        ("fused+pallas-brief", True, None),
-        ("xla+dense-brief", False, brief._orb_compute_packed_dense),
-        ("fused+dense-brief", True, brief._orb_compute_packed_dense),
+        ("xla+pallas-brief", False, None, "dense"),
+        ("fused+pallas-brief", True, None, "dense"),
+        ("fused+sorted-brief", True, None, "sorted"),
+        ("xla+dense-brief", False, brief._orb_compute_packed_dense, "dense"),
+        ("fused+dense-brief", True, brief._orb_compute_packed_dense, "dense"),
     ]
     if sel and sel[0]:
         allv = [v for v in allv if v[0] in sel]
-    for name, fused, orb in allv:
-        fc = dataclasses.replace(cfg.frontend, fused_upstream=fused)
+    for name, fused, orb, bvar in allv:
+        fc = dataclasses.replace(cfg.frontend, fused_upstream=fused,
+                                 brief_variant=bvar)
         c = dataclasses.replace(cfg, frontend=fc)
         variants[name] = (make_chain(c, mask, n_lo, orb),
                          make_chain(c, mask, n_hi, orb))

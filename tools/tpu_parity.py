@@ -95,6 +95,16 @@ def main():
         assert np.array_equal(np.asarray(feats.codes), cx), f"{tag} codes diverge"
         assert np.array_equal(np.asarray(feats.descriptors), dx), (
             f"{tag} descriptors diverge")
+    # sorted-BRIEF production pipeline: same features bit-for-bit
+    c2 = dataclasses.replace(
+        cfg, frontend=dataclasses.replace(fc, fused_upstream=True,
+                                          brief_variant="sorted"))
+    feats = jax.jit(lambda im, c2=c2: _extract_impl(im, mask_np, c2))(stack)
+    assert np.array_equal(np.asarray(feats.codes), cx), (
+        "sorted-brief codes diverge")
+    assert np.array_equal(np.asarray(feats.descriptors), dx), (
+        "sorted-brief descriptors diverge")
+
     # bucketed config: the fused path buckets the 2x2-reduced code grid
     # (halved geometry); must match the XLA grid bucketing feature-for-
     # feature (Fast.h:316-341 semantics)
