@@ -109,6 +109,11 @@ def main(argv=None):
     ap.add_argument("--metrics", action="store_true",
                     help="per-frame JSON telemetry on stderr")
     ap.add_argument("--no-loop-close", action="store_true")
+    ap.add_argument("--loop-every", type=int, default=0,
+                    help="attempt loop closure every N new keyframes "
+                         "DURING the run (continuous SLAM), not only at "
+                         "the end; each successful closure optimises the "
+                         "pose graph immediately")
     ap.add_argument("--traj-out", help="write TUM-format trajectory here")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the sitecustomize preloads "
@@ -150,6 +155,8 @@ def main(argv=None):
                         metrics=metrics)
 
     poses = []  # (R, t) world->cam per processed frame
+    loops_closed = [0]
+    last_loop_kf = [0]
 
     def step(state, item):
         slam.set_state(state)
@@ -161,6 +168,12 @@ def main(argv=None):
         else:
             out = slam.process(jnp.asarray(item))
             poses.append((out["pose_R"], out["pose_t"]))
+        if (args.loop_every
+                and slam.num_keyframes - last_loop_kf[0] >= args.loop_every
+                and slam.num_keyframes >= 5):
+            last_loop_kf[0] = slam.num_keyframes
+            if slam.try_close_loop() >= 0:
+                loops_closed[0] += 1
         if args.metrics:
             metrics.emit(frames_done=len(poses))
         return slam.state
@@ -211,6 +224,7 @@ def main(argv=None):
     report = {"metric": "slam_service", "frames": n_frames,
               "resumed_at": skipped, "keyframes": slam.num_keyframes,
               "landmarks": slam.num_landmarks,
+              "loops_closed_midrun": loops_closed[0],
               "loop_closed_to_kf": int(loop)}
     if gt is not None and skipped == 0 and len(poses) == n_frames:
         est = np.stack([-R.T @ t for R, t in poses])

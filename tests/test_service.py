@@ -95,6 +95,16 @@ def test_service_full_sequence_reports_ate(capsys):
     assert "ate_rmse" in rep and rep["ate_rmse"] < 0.5
 
 
+def test_service_midrun_loop_closure(capsys):
+    """--loop-every closes the out-and-back loop DURING the run."""
+    service.main(["--seq", DATA, "--chunk", "8", "--loop-every", "2",
+                  "--no-loop-close"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["frames"] == 48
+    assert rep["loops_closed_midrun"] >= 1
+    assert "ate_rmse" in rep and rep["ate_rmse"] < 0.5
+
+
 def test_service_chunked_scan_mode(tmp_path, capsys):
     """--chunk N drives the device-resident tracking scan."""
     traj = str(tmp_path / "traj.txt")
