@@ -113,9 +113,12 @@ class FrontendConfig:
     # per block and selects (pallas_kernels.orb_select_bits); "sorted"
     # computes angles first, sorts keypoints by bin and skips rotations
     # outside each block's bin range (orb_select_bits_sorted). Bit-exact
-    # either way; A/B on hardware via tools/ab_orb_sort.py /
-    # tools/ab_frontend.py decides the default.
-    brief_variant: str = "dense"
+    # either way (asserted on hardware, tools/ab_orb_sort.py). Measured on
+    # the demo pyramid: isolated stage 0.121 vs 0.114 ms (~6%), but
+    # IN-CONTEXT the full frontend runs 0.541 vs 0.326 ms/frame (1.66x) --
+    # the dense variant's ~30x MXU over-work crowds out the rest of the
+    # pipeline (interleaved A/B, tools/ab_frontend.py 2026-08-17).
+    brief_variant: str = "sorted"
 
     def __post_init__(self):
         assert self.border >= 16, "border must cover FAST(3)+Harris(4)+ORB(15)"

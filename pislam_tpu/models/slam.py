@@ -25,6 +25,14 @@ per the north star):
   readback per stored keyframe). try_close_loop() conjugates the RANSAC
   relative pose into the pose-graph edge frame and runs pose-graph GN
   (backend/pose_graph.py); relocalise() recovers a kidnapped frame.
+* lost-tracking recovery: when frame-to-keyframe tracking collapses below
+  `vo.min_inliers` the tracker enters a LOST state instead of trusting the
+  degenerate RANSAC pose: it relocalises against the whole keyframe store
+  (one MXU dispatch), and on success promotes the frame to a recovery
+  keyframe so tracking resumes against it; until recovery the last good
+  pose is held. The device-resident chunk scan holds the pose on-device
+  and recovers at chunk boundaries via the same host path (chunk=1
+  reproduces the loop's decisions exactly).
 
 Host-side Python only orchestrates keyframe decisions (small scalar reads);
 all heavy stages are jitted device programs. The image frontend is swappable
@@ -158,7 +166,7 @@ def track_map_state(cfg: PislamConfig, lmap: kfs.LandmarkMap, feats: Features,
 class KeyframeSLAM:
     def __init__(self, cfg: PislamConfig, fx, fy, cx, cy, features_fn=None,
                  keyframe_min_inliers: int = 60, keyframe_max_gap: int = 10,
-                 seed: int = 7, metrics=None):
+                 seed: int = 7, metrics=None, reloc_min_matches: int = 30):
         from ..utils.metrics import NullMetrics
 
         self.cfg = cfg
@@ -169,6 +177,7 @@ class KeyframeSLAM:
         self.vo = VisualOdometry(cfg, fx, fy, cx, cy, features_fn=features_fn)
         self.keyframe_min_inliers = keyframe_min_inliers
         self.keyframe_max_gap = keyframe_max_gap
+        self.reloc_min_matches = reloc_min_matches
         self.capacity = cfg.map.keyframe_capacity
         assert self.capacity >= cfg.ba.window, \
             "keyframe ring must hold at least one BA window"
@@ -184,6 +193,12 @@ class KeyframeSLAM:
         self.trajectory = []  # camera positions per processed frame (host)
         # cached device rows of the last keyframe (tracking reference)
         self._last: Optional[dict] = None
+        # last accepted pose (held while tracking is lost)
+        self._prev_pose = (np.eye(3, dtype=np.float32),
+                           np.zeros(3, np.float32))
+        # cumulative session counters (metrics counters reset on emit)
+        self.frames_lost = 0
+        self.relocalisations = 0
 
         self._match = jax.jit(lambda d1, d2, v1, v2: matching.match(
             d1, d2, v1, v2, max_distance=cfg.matcher.max_distance,
@@ -216,9 +231,14 @@ class KeyframeSLAM:
             int(c[2])
         self._frame_idx, self._since_kf = int(c[3]), int(c[4])
         if self._num_kf > 0:
-            self._cache_last((self._num_kf - 1) % self.capacity)
+            slot = (self._num_kf - 1) % self.capacity
+            self._cache_last(slot)
+            self._prev_pose = (np.asarray(state.store.R[slot]),
+                               np.asarray(state.store.t[slot]))
         else:
             self._last = None
+            self._prev_pose = (np.eye(3, dtype=np.float32),
+                               np.zeros(3, np.float32))
 
     def save_checkpoint(self, path: str):
         ckpt.save(path, self.state)
@@ -292,52 +312,95 @@ class KeyframeSLAM:
             m.gauge("num_keyframes", self.num_keyframes)
             self._frame_idx += 1  # AFTER insert: counters[3] is the frame id
             self.trajectory.append(np.zeros(3))
+            self._prev_pose = (R, t)
             return {"pose_R": R, "pose_t": t, "keyframe": True,
-                    "num_inliers": 0, "map_inliers": 0}
+                    "num_inliers": 0, "map_inliers": 0,
+                    "lost": False, "relocalised": False}
 
         last = self._last
         with m.timer("track"):
             out, idx2 = self._localise_against(
                 last["desc"], last["valid"], last["pts"], feats, pts)
             n_inl = int(out["num_inliers"])
-        Rrel = np.asarray(out["R"])
-        trel = np.asarray(out["t"])
-        trel = trel / max(np.linalg.norm(trel), 1e-9)
-
-        # NOTE on monocular scale: the essential-matrix translation is kept
-        # unit-norm; map PnP (below) supplies metric scale whenever enough
-        # landmarks are in view. Constant-velocity scale propagation
-        # (|c_prev - c_kf| + previous step length) was tried and REGRESSED
-        # the committed loop sequence 2x (ATE 0.21 -> 0.41): prediction
-        # errors compound through the propagated scale, while the unit-norm
-        # convention bounds them per keyframe interval.
-        R = Rrel @ last["R"]
-        t = Rrel @ last["t"] + trel
-
+        lost = n_inl < self.cfg.vo.min_inliers
+        relocalised = False
         n_map = 0
         map_idx = jnp.full(pts.shape[0], -1, jnp.int32)
-        if self.cfg.map.track_map and self._num_lm > 0:
-            with m.timer("map_track"):
-                Rm, tm, n_map_d, assoc = self._track_map(
-                    self._st.lmap, feats, pts, jnp.asarray(R), jnp.asarray(t))
-                n_map = int(n_map_d)
-            if n_map >= self.cfg.map.min_map_inliers:
-                R, t = np.asarray(Rm), np.asarray(tm)
-                map_idx = assoc
+        if lost:
+            # tracking collapsed: the RANSAC pose is degenerate garbage.
+            # Relocalise against the WHOLE keyframe store (one dispatch);
+            # on success the frame becomes a recovery keyframe (below) so
+            # tracking resumes against it, else the last accepted pose is
+            # held until some later frame relocalises.
+            m.count("frames_lost")
+            self.frames_lost += 1
+            with m.timer("relocalise"):
+                rec = self._relocalise_feats(
+                    feats, pts, min_matches=self.reloc_min_matches)
+            if rec is not None:
+                R, t, kf_ord = rec
+                relocalised = True
+                m.count("relocalisations")
+                self.relocalisations += 1
+            else:
+                R, t = self._prev_pose
+        else:
+            Rrel = np.asarray(out["R"])
+            trel = np.asarray(out["t"])
+            trel = trel / max(np.linalg.norm(trel), 1e-9)
+
+            # NOTE on monocular scale: the essential-matrix translation is
+            # kept unit-norm; map PnP (below) supplies metric scale whenever
+            # enough landmarks are in view. Constant-velocity scale
+            # propagation (|c_prev - c_kf| + previous step length) was tried
+            # and REGRESSED the committed loop sequence 2x (ATE 0.21 ->
+            # 0.41): prediction errors compound through the propagated
+            # scale, while the unit-norm convention bounds them per
+            # keyframe interval.
+            R = Rrel @ last["R"]
+            t = Rrel @ last["t"] + trel
+
+            if self.cfg.map.track_map and self._num_lm > 0:
+                with m.timer("map_track"):
+                    Rm, tm, n_map_d, assoc = self._track_map(
+                        self._st.lmap, feats, pts,
+                        jnp.asarray(R), jnp.asarray(t))
+                    n_map = int(n_map_d)
+                if n_map >= self.cfg.map.min_map_inliers:
+                    R, t = np.asarray(Rm), np.asarray(tm)
+                    map_idx = assoc
 
         self._since_kf += 1
         self.trajectory.append(-R.T @ t)
 
-        make_kf = (n_inl < self.keyframe_min_inliers
-                   or self._since_kf >= self.keyframe_max_gap)
-        if make_kf and n_inl >= self.cfg.vo.min_inliers:
+        make_kf = (not lost
+                   and (n_inl < self.keyframe_min_inliers
+                        or self._since_kf >= self.keyframe_max_gap))
+        if make_kf:
             with m.timer("insert_ba"):
                 self._insert_keyframe(feats, pts, R.astype(np.float32),
                                       t.astype(np.float32), idx2,
                                       out["inliers"], last["slot"], map_idx)
             m.count("keyframes_inserted")
             self._since_kf = 0
+        elif relocalised:
+            # promote the relocalised view to a recovery keyframe: both the
+            # host loop and the device scan then resume tracking against it
+            # (no triangulation -- there are no inlier matches to the
+            # previous keyframe after a kidnap)
+            K = pts.shape[0]
+            with m.timer("insert_ba"):
+                self._insert_keyframe(
+                    feats, pts, np.asarray(R, np.float32),
+                    np.asarray(t, np.float32),
+                    jnp.full(K, -1, jnp.int32), jnp.zeros(K, bool),
+                    rec[2] % self.capacity)
+            m.count("keyframes_inserted")
+            self._since_kf = 0
+            make_kf = True
         self._frame_idx += 1  # AFTER insert: counters[3] is the frame id
+        self._prev_pose = (np.asarray(R, np.float32),
+                           np.asarray(t, np.float32))
 
         m.count("track_inliers", n_inl)
         m.count("map_inliers", n_map)
@@ -345,7 +408,8 @@ class KeyframeSLAM:
         m.gauge("num_landmarks", self._num_lm)
         m.gauge("num_observations", self._num_obs)
         return {"pose_R": R, "pose_t": t, "keyframe": make_kf,
-                "num_inliers": n_inl, "map_inliers": n_map}
+                "num_inliers": n_inl, "map_inliers": n_map,
+                "lost": lost, "relocalised": relocalised}
 
     def process_chunk(self, frames):
         """Track a chunk of frames in ONE device dispatch (slam_scan.py).
@@ -383,6 +447,41 @@ class KeyframeSLAM:
         if self._num_kf > n_kf_before and self._num_kf >= 2:
             with m.timer("insert_ba"):
                 self._local_ba()
+        # chunk-boundary lost-tracking recovery: the scan cannot relocalise
+        # on-device (the store-wide match is host orchestration), so when
+        # the chunk ENDS lost, relocalise the last frame against the whole
+        # keyframe store and promote it to a recovery keyframe -- the next
+        # chunk then tracks against it. chunk=1 reproduces process()'s
+        # in-loop recovery decision-for-decision.
+        outs = {k: np.array(v) for k, v in outs.items()}  # writable copies
+        ninl = outs["num_inliers"]
+        # a bootstrap frame reports 0 inliers but is a keyframe, not lost
+        if (ninl.shape[0] > 0 and int(ninl[-1]) < self.cfg.vo.min_inliers
+                and not bool(outs["keyframe"][-1]) and self._num_kf > 0):
+            m.count("frames_lost")
+            self.frames_lost += 1
+            with m.timer("relocalise"):
+                feats, pts = self._features(frames[-1])
+                rec = self._relocalise_feats(
+                    feats, pts, min_matches=self.reloc_min_matches)
+            if rec is not None:
+                R, t, kf_ord = rec
+                K = pts.shape[0]
+                self._frame_idx -= 1  # the frame id is the LAST chunk frame
+                self._insert_keyframe(
+                    feats, pts, np.asarray(R, np.float32),
+                    np.asarray(t, np.float32),
+                    jnp.full(K, -1, jnp.int32), jnp.zeros(K, bool),
+                    kf_ord % self.capacity)
+                self._frame_idx += 1
+                self._since_kf = 0
+                outs["pose_R"][-1] = np.asarray(R, np.float32)
+                outs["pose_t"][-1] = np.asarray(t, np.float32)
+                outs["keyframe"][-1] = True
+                self.trajectory[-1] = -np.asarray(R).T @ np.asarray(t)
+                m.count("relocalisations")
+                self.relocalisations += 1
+                m.count("keyframes_inserted")
         m.gauge("num_keyframes", self.num_keyframes)
         m.gauge("num_landmarks", self._num_lm)
         m.gauge("num_observations", self._num_obs)
@@ -605,16 +704,12 @@ class KeyframeSLAM:
         m.count("loops_closed")
         return idx
 
-    def relocalise(self, frame, min_matches: int = 30):
-        """Localise a frame against the keyframe map (kidnapped-robot case).
+    def _relocalise_feats(self, feats, pts, min_matches: int = 30):
+        """Localise extracted features against the keyframe map.
 
-        Returns (R, t) world->camera, or None if no keyframe matches. The
-        translation inherits the map's scale via the matched keyframe's
-        stored pose plus a unit-norm relative offset; when the landmark map
-        is populated the pose is additionally refined by motion-only BA
-        against it (exact map-scale translation).
+        Returns (R, t, kf_ordinal) or None. Shared by the public
+        relocalise() and the in-loop lost-tracking recovery in process().
         """
-        feats, pts = self._features(frame)
         idx, R_rel, t_unit, _ = self.match_keyframe(
             feats, pts, min_matches=min_matches)
         if idx < 0:
@@ -629,7 +724,20 @@ class KeyframeSLAM:
                 self._st.lmap, feats, pts, jnp.asarray(R), jnp.asarray(t))
             if int(n_map) >= self.cfg.map.min_map_inliers:
                 R, t = np.asarray(Rm), np.asarray(tm)
-        return R, t
+        return R, t, idx
+
+    def relocalise(self, frame, min_matches: int = 30):
+        """Localise a frame against the keyframe map (kidnapped-robot case).
+
+        Returns (R, t) world->camera, or None if no keyframe matches. The
+        translation inherits the map's scale via the matched keyframe's
+        stored pose plus a unit-norm relative offset; when the landmark map
+        is populated the pose is additionally refined by motion-only BA
+        against it (exact map-scale translation).
+        """
+        feats, pts = self._features(frame)
+        rec = self._relocalise_feats(feats, pts, min_matches=min_matches)
+        return None if rec is None else (rec[0], rec[1])
 
     def optimise_pose_graph(self, loop_edges=()):
         """Global pose-graph GN over stored keyframes: sequential odometry

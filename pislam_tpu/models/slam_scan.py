@@ -68,10 +68,12 @@ def make_slam_track_scan(cfg: PislamConfig, fx: float, fy: float,
                                level_rows, level_scales)
         return feats, pts
 
-    def step(st: SlamState, frame):
+    def step(carry, frame):
+        st, prev_R, prev_t = carry
         feats, pts = frontend(frame)
 
-        def bootstrap(st):
+        def bootstrap(op):
+            st, _pR, _pt = op
             R0 = jnp.eye(3, dtype=jnp.float32)
             t0 = jnp.zeros(3, jnp.float32)
             stn = insert_keyframe_state(
@@ -80,7 +82,8 @@ def make_slam_track_scan(cfg: PislamConfig, fx: float, fy: float,
                 jnp.int32(0), jnp.full(K, -1, jnp.int32))
             return stn, (R0, t0, jnp.bool_(True), jnp.int32(0), jnp.int32(0))
 
-        def track(st):
+        def track(op):
+            st, prev_R, prev_t = op
             slot = jnp.mod(st.counters[0] - 1, cap)
             store = st.store
             idx2, _ = matching.match(
@@ -96,9 +99,16 @@ def make_slam_track_scan(cfg: PislamConfig, fx: float, fy: float,
                 sub, store.pts[slot], p2, ok, iters=vc.ransac_iters,
                 inlier_threshold=vc.inlier_threshold)
             n_inl = out["num_inliers"].astype(jnp.int32)
+            # LOST when tracking collapses: hold the previous accepted pose
+            # instead of chaining the degenerate RANSAC pose (matches
+            # KeyframeSLAM.process; relocalisation is host orchestration,
+            # handled at chunk boundaries by process_chunk)
+            lost = n_inl < vc.min_inliers
             trel = out["t"] / jnp.maximum(jnp.linalg.norm(out["t"]), 1e-9)
             R = out["R"] @ store.R[slot]
             t = (out["R"] @ store.t[slot][:, None])[:, 0] + trel
+            R = jnp.where(lost, prev_R, R)
+            t = jnp.where(lost, prev_t, t)
 
             if cfg.map.track_map:
                 def with_map(_):
@@ -110,8 +120,9 @@ def make_slam_track_scan(cfg: PislamConfig, fx: float, fy: float,
                     return (R, t, jnp.int32(0), jnp.full(K, -1, jnp.int32))
 
                 Rm, tm, n_map, assoc = jax.lax.cond(
-                    st.counters[1] > 0, with_map, without_map, None)
-                use = n_map >= cfg.map.min_map_inliers
+                    (st.counters[1] > 0) & ~lost, with_map, without_map,
+                    None)
+                use = (n_map >= cfg.map.min_map_inliers) & ~lost
                 R = jnp.where(use, Rm, R)
                 t = jnp.where(use, tm, t)
                 map_idx = jnp.where(use, assoc, -1)
@@ -121,9 +132,8 @@ def make_slam_track_scan(cfg: PislamConfig, fx: float, fy: float,
 
             since = st.counters[4] + 1
             st = st._replace(counters=st.counters.at[4].set(since))
-            make_kf = ((n_inl < keyframe_min_inliers)
-                       | (since >= keyframe_max_gap))
-            do_insert = make_kf & (n_inl >= vc.min_inliers)
+            make_kf = (~lost & ((n_inl < keyframe_min_inliers)
+                                | (since >= keyframe_max_gap)))
 
             def insert(st):
                 stn = insert_keyframe_state(
@@ -131,17 +141,26 @@ def make_slam_track_scan(cfg: PislamConfig, fx: float, fy: float,
                     slot, map_idx)
                 return stn._replace(counters=stn.counters.at[4].set(0))
 
-            st = jax.lax.cond(do_insert, insert, lambda s: s, st)
+            st = jax.lax.cond(make_kf, insert, lambda s: s, st)
             return st, (R, t, make_kf, n_inl, n_map)
 
-        st, outs = jax.lax.cond(st.counters[0] == 0, bootstrap, track, st)
+        st, outs = jax.lax.cond(st.counters[0] == 0, bootstrap, track,
+                                (st, prev_R, prev_t))
         # AFTER insert: counters[3] is the frame id (matches the loop)
         st = st._replace(counters=st.counters.at[3].add(1))
-        return st, outs
+        return (st, outs[0], outs[1]), outs
 
     @jax.jit
     def run(st: SlamState, frames):
-        st, (Rs, ts, kf, ninl, nmap) = jax.lax.scan(step, st, frames)
+        # previous accepted pose seeds from the last keyframe (the same
+        # initialisation KeyframeSLAM.set_state uses for _prev_pose)
+        slot = jnp.mod(st.counters[0] - 1, cap)
+        has_kf = st.counters[0] > 0
+        prev_R = jnp.where(has_kf, st.store.R[slot],
+                           jnp.eye(3, dtype=jnp.float32))
+        prev_t = jnp.where(has_kf, st.store.t[slot], jnp.zeros(3))
+        (st, _pR, _pt), (Rs, ts, kf, ninl, nmap) = jax.lax.scan(
+            step, (st, prev_R, prev_t.astype(jnp.float32)), frames)
         return st, {"pose_R": Rs, "pose_t": ts, "keyframe": kf,
                     "num_inliers": ninl, "map_inliers": nmap}
 

@@ -224,6 +224,8 @@ def main(argv=None):
     report = {"metric": "slam_service", "frames": n_frames,
               "resumed_at": skipped, "keyframes": slam.num_keyframes,
               "landmarks": slam.num_landmarks,
+              "frames_lost": slam.frames_lost,
+              "relocalisations": slam.relocalisations,
               "loops_closed_midrun": loops_closed[0],
               "loop_closed_to_kf": int(loop)}
     if gt is not None and skipped == 0 and len(poses) == n_frames:

@@ -355,3 +355,88 @@ def test_checkpointed_runner_drives_slam(tmp_path):
     est = slam2.keyframe_positions()
     gt = np.stack([-Rs[f].T @ ts[f] for f in slam2.keyframe_frames])
     assert ate_rmse(est, gt, with_scale=True) < 0.15
+
+
+def test_lost_tracking_recovery():
+    """Kidnapped robot inside the tracking LOOP (not just the relocalise
+    API): a sensor blackout must flag LOST and hold the last accepted pose
+    (the degenerate RANSAC pose must not leak into the trajectory), and the
+    first mapped view afterwards -- one that does NOT overlap the last
+    keyframe -- must relocalise against the whole store in-loop, re-target
+    tracking at the matched keyframe, and resume."""
+    xyz, desc = make_world(seed=5)
+    Rs, ts = make_trajectory(10)
+    cfg = tiny_cfg()
+
+    # landmark-visibility windows make overlap explicit: early poses see
+    # [0, 220), late poses see [180, 400) (bridged), the kidnap view sees
+    # [0, 180) -- zero overlap with the last keyframe, large overlap with
+    # the early ones.
+    def restricted(pose_i, lo, hi):
+        xc = xyz @ Rs[pose_i].T + ts[pose_i]
+        z = xc[:, 2]
+        u = FX * xc[:, 0] / np.maximum(z, 1e-6) + CX
+        v = FY * xc[:, 1] / np.maximum(z, 1e-6) + CY
+        vis = (z > 0.5) & (u >= 16) & (u < 624) & (v >= 16) & (v < 464)
+        vis &= (np.arange(len(xyz)) >= lo) & (np.arange(len(xyz)) < hi)
+        order = np.argsort(~vis)
+        sel = order[:K_SLOTS]
+        ui = np.round(u[sel]).astype(np.int64)
+        vi = np.round(v[sel]).astype(np.int64)
+        valid = vis[sel]
+        codes = np.where(valid, ((200 << 24) | (ui << 12) | vi), 0)
+        return Features(
+            codes=jnp.asarray(codes.astype(np.uint32)),
+            valid=jnp.asarray(valid),
+            angles=jnp.zeros(K_SLOTS, jnp.uint8),
+            descriptors=jnp.asarray(np.where(valid[:, None], desc[sel], 0)))
+
+    rng = np.random.default_rng(11)
+    noise_desc = rng.integers(0, 2**31, (K_SLOTS, 8),
+                              dtype=np.int64).astype(np.uint32)
+    codes = ((200 << 24) | ((np.arange(K_SLOTS) % 600 + 20) << 12)
+             | (np.arange(K_SLOTS) % 400 + 20)).astype(np.uint32)
+    blackout = Features(
+        codes=jnp.asarray(codes), valid=jnp.ones(K_SLOTS, bool),
+        angles=jnp.zeros(K_SLOTS, jnp.uint8),
+        descriptors=jnp.asarray(noise_desc))
+
+    def features_fn(frame_idx):
+        i = int(frame_idx)
+        if i < 5:
+            return restricted(i, 0, 220)
+        if i < 10:
+            return restricted(i, 180, 400)
+        if i < 13:           # frames 10..12: sensor blackout
+            return blackout
+        return restricted(i - 11, 0, 180)   # 13 -> pose 2 (kidnap), 14 -> 3
+
+    slam = KeyframeSLAM(cfg, FX, FY, CX, CY, features_fn=features_fn,
+                        keyframe_min_inliers=220, keyframe_max_gap=3)
+    for i in range(10):
+        out = slam.process(i)
+        assert not out["lost"], f"frame {i} unexpectedly lost"
+    kf_before = slam.num_keyframes
+    assert kf_before >= 3
+    pos_before = np.asarray(slam.trajectory[-1]).copy()
+
+    # blackout: LOST, pose held exactly, nothing inserted
+    for i in range(10, 13):
+        out = slam.process(i)
+        assert out["lost"] and not out["relocalised"], out
+        assert not out["keyframe"]
+        np.testing.assert_allclose(np.asarray(slam.trajectory[-1]),
+                                   pos_before)
+    assert slam.num_keyframes == kf_before
+
+    # kidnap to pose 2's view (no overlap with the last keyframe):
+    # in-loop relocalisation recovers rotation against an early keyframe
+    out = slam.process(13)
+    assert out["lost"] and out["relocalised"], out
+    assert np.linalg.norm(np.asarray(out["pose_R"]) - Rs[2]) < 0.1
+
+    # tracking resumes against the re-targeted keyframe
+    out = slam.process(14)   # pose 3's view
+    assert not out["lost"], out
+    assert out["num_inliers"] >= 12
+    assert np.linalg.norm(np.asarray(out["pose_R"]) - Rs[3]) < 0.15
