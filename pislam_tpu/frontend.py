@@ -73,15 +73,28 @@ def _extract_impl(img, level_mask, cfg: PislamConfig) -> Features:
             fc.fast_threshold, fc.harris_threshold, pk.FUSED_NOUT)
         reduced = pk.reduce_keys_2x(keys)
         if fc.log_bucket_size > 0:
-            # bucketing ON the 2x2-reduced code grid, exactly: reduced[r,c]
-            # is the sole NMS survivor of grid block (2r..2r+1, 2c..2c+1)
-            # (3x3 NMS leaves <=1 per block), and with an even border every
-            # block lies whole inside one bucket cell, so bucket_topk with
-            # halved border/cell geometry caps the same cells on 4x fewer
-            # entries (Fast.h:316-341 semantics via nms.bucket_topk).
+            # bucketing ON the 2x2-reduced code grid, exactly: after the
+            # un-permute below, reduced[r,c] is the sole NMS survivor of
+            # grid block (2r..2r+1, 2c..2c+1) (3x3 NMS leaves <=1 per
+            # block), and with an even border every block lies whole inside
+            # one bucket cell, so bucket_topk with halved border/cell
+            # geometry caps the same cells on 4x fewer entries
+            # (Fast.h:316-341 semantics via nms.bucket_topk).
             # Cells of (bs/2)^2 reduced entries can't exceed the cap ->
             # bucketing is a no-op there, skip it.
             if fc.bucket_limit < (1 << (fc.log_bucket_size - 1)) ** 2:
+                # fused_frontend_keys emits each nout-row block's merged
+                # pairs as 2 planes (even pairs, then odd pairs) -- a row
+                # PERMUTATION top_k is blind to, but bucket_topk is not:
+                # with bucket cells smaller than the nout/2-row permutation
+                # block (log_bucket_size < 5 here), cell membership would
+                # be wrong (caught by tools/tpu_parity.py at lbs=3).
+                # Restore true y//2 row order first (cheap relayout, only
+                # in bucketed configs).
+                nv = pk.FUSED_NOUT // 4
+                R, W = reduced.shape
+                reduced = (reduced.reshape(R // (2 * nv), 2, nv, W)
+                           .transpose(0, 2, 1, 3).reshape(R, W))
                 reduced = nms.bucket_topk(
                     reduced, fc.border // 2, fc.log_bucket_size - 1,
                     fc.bucket_limit)
