@@ -166,7 +166,8 @@ def track_map_state(cfg: PislamConfig, lmap: kfs.LandmarkMap, feats: Features,
 class KeyframeSLAM:
     def __init__(self, cfg: PislamConfig, fx, fy, cx, cy, features_fn=None,
                  keyframe_min_inliers: int = 60, keyframe_max_gap: int = 10,
-                 seed: int = 7, metrics=None, reloc_min_matches: int = 30):
+                 seed: int = 7, metrics=None, reloc_min_matches: int = 30,
+                 mesh=None):
         from ..utils.metrics import NullMetrics
 
         self.cfg = cfg
@@ -212,6 +213,15 @@ class KeyframeSLAM:
                 cross_check=cfg.matcher.cross_check)[1])
         self._insert = self._build_insert()
         self._track_map = self._build_track_map()
+        if mesh is not None:
+            # map scaling across chips: the big matmuls -- map tracking
+            # against the landmark map and store-wide loop detection --
+            # run sharded over the mesh's model axis (bit-identical match
+            # semantics, parallel/dist.py). State arrays reshard at the
+            # jit boundary; the small pose solves replicate.
+            from ..parallel import dist
+            self._track_map = dist.make_sharded_map_tracker(cfg, mesh)
+            self._store_counts = dist.make_sharded_store_counts(cfg, mesh)
         self._has_image_frontend = features_fn is None
         self._chunk_scan = None  # built lazily by process_chunk
 

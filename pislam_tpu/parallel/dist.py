@@ -164,6 +164,145 @@ def batch_slam_states(cfg: PislamConfig, n: int, seed: int = 7):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
 
+def _sharded_match_local(axis: str, n: int, descA, descB_s, validA, validB_s,
+                         max_distance: int, ratio: float, cross_check: bool):
+    """Per-device body of cross-shard matching (inside shard_map).
+
+    Query (descA) replicated, database (descB_s) row-sharded on `axis`.
+    Each device matmuls its shard, then per-row (best, second, index)
+    candidates merge with one all_gather -- bit-identical to single-device
+    matching.match (global first-occurrence argmin: ties resolve to the
+    lowest shard, then the lowest local index). Returns (idx_g, best_g)
+    with idx_g = -1 for unmatched, best_g the raw best distance.
+    """
+    from .. import matching as m
+
+    k1 = descA.shape[0]
+    k2s = descB_s.shape[0]
+    dist = m.hamming_matrix(descA, descB_s, validA, validB_s)
+    bidx, best, second = m._best_two(dist)
+    shard = jax.lax.axis_index(axis)
+    gidx = bidx + shard * k2s
+
+    all_best = jax.lax.all_gather(best, axis)      # (n, K1)
+    all_second = jax.lax.all_gather(second, axis)  # (n, K1)
+    all_idx = jax.lax.all_gather(gidx, axis)       # (n, K1)
+
+    w = jnp.argmin(all_best, axis=0)               # winning shard per row
+    rows = jnp.arange(k1)
+    best_g = all_best[w, rows]
+    idx_g = all_idx[w, rows]
+    # second best of the union = min over (all seconds, losing bests)
+    masked = all_best.at[w, rows].set(m.MAX_DIST)
+    second_g = jnp.minimum(jnp.min(all_second, axis=0),
+                           jnp.min(masked, axis=0))
+
+    ok = best_g <= max_distance
+    ok &= best_g.astype(jnp.float32) < ratio * second_g.astype(jnp.float32)
+    if cross_check:
+        rbest = jnp.argmin(dist, axis=0)           # per local column
+        all_rbest = jax.lax.all_gather(rbest, axis).reshape(n * k2s)
+        ok &= all_rbest[idx_g] == rows
+    ok &= validA
+    return jnp.where(ok, idx_g, -1), best_g
+
+
+def make_sharded_map_tracker(cfg: PislamConfig, mesh: Mesh,
+                             axis: str = "model"):
+    """Local-map tracking with the LANDMARK MAP sharded across `axis`.
+
+    The north-star map-scaling primitive (SURVEY.md section 5 "map/keyframe
+    sharding across hosts"): landmark descriptors/positions live row-sharded
+    over the mesh axis, each device matmuls the replicated query features
+    against its shard, candidates merge with one all_gather, matched
+    landmark positions are fetched shard-locally and combined with one
+    psum, and the small motion-only BA replicates. Call-compatible with the
+    single-device ``track_map_state`` partial application
+    (lmap, feats, pts, R0, t0) and produces the same (R, t, num_inliers,
+    assoc) -- the match is bit-identical, the pose to float tolerance.
+
+    cfg.map.max_landmarks must divide by the axis size.
+    """
+    from ..backend import pnp
+
+    mc = cfg.map
+    n = mesh.shape[axis]
+    assert mc.max_landmarks % n == 0, (mc.max_landmarks, n)
+
+    def local(desc_s, valid_s, xyz_s, fdesc, fvalid, pts, R0, t0):
+        ls = desc_s.shape[0]
+        idx, _ = _sharded_match_local(
+            axis, n, fdesc, desc_s, fvalid, valid_s,
+            mc.map_match_max_distance, cfg.matcher.ratio, True)
+        ok = idx >= 0
+        # shard-local landmark-position fetch, merged with one psum
+        shard = jax.lax.axis_index(axis)
+        li = idx - shard * ls
+        own = ok & (li >= 0) & (li < ls)
+        xyz_part = jnp.where(own[:, None],
+                             xyz_s[jnp.clip(li, 0, ls - 1)], 0.0)
+        xyz = jax.lax.psum(xyz_part, axis)
+        out = pnp.motion_only_ba(
+            R0, t0, xyz, pts, ok, iters=mc.pnp_iters,
+            inlier_threshold=mc.pnp_inlier_threshold)
+        assoc = jnp.where(out["inliers"], idx, -1)
+        return out["R"], out["t"], out["num_inliers"], assoc
+
+    rep = P()
+    sh = P(axis)
+
+    @jax.jit
+    def run(lmap, feats, pts, R0, t0):
+        f = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis, None), sh, P(axis, None),
+                      rep, rep, rep, rep, rep),
+            out_specs=(rep, rep, rep, rep), check_vma=False)
+        return f(lmap.descriptors, lmap.valid, lmap.xyz,
+                 feats.descriptors, feats.valid, pts, R0, t0)
+
+    return run
+
+
+def make_sharded_store_counts(cfg: PislamConfig, mesh: Mesh,
+                              axis: str = "model"):
+    """Loop-detection counts with the KEYFRAME STORE sharded across `axis`.
+
+    matching.match_many's (F*K1, K2) matmul splits over the mesh axis by
+    keyframe rows; the per-keyframe candidate counts merge with one
+    all_gather. Call-compatible with the single-device
+    ``_store_counts`` (store, feats) -> (F,) counts, identical values.
+
+    cfg.map.keyframe_capacity must divide by the axis size.
+    """
+    from .. import matching as m
+
+    n = mesh.shape[axis]
+    assert cfg.map.keyframe_capacity % n == 0, \
+        (cfg.map.keyframe_capacity, n)
+
+    def local(descs_s, valids_s, desc2, valid2):
+        _idx, counts = m.match_many(
+            descs_s, valids_s, desc2, valid2,
+            max_distance=cfg.matcher.max_distance,
+            ratio=cfg.matcher.ratio,
+            cross_check=cfg.matcher.cross_check)
+        return jax.lax.all_gather(counts, axis).reshape(-1)
+
+    rep = P()
+
+    @jax.jit
+    def run(store, feats):
+        f = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis, None, None), P(axis, None), rep, rep),
+            out_specs=rep, check_vma=False)
+        return f(store.descriptors, store.kp_valid,
+                 feats.descriptors, feats.valid)
+
+    return run
+
+
 def make_sharded_match(mesh: Mesh, axis: str = "model",
                        max_distance: int = 64, ratio: float = 0.8,
                        cross_check: bool = True):
@@ -180,40 +319,12 @@ def make_sharded_match(mesh: Mesh, axis: str = "model",
     (matching.match argument order) with global database indices in shard
     order.
     """
-    from .. import matching as m
-
-    n = mesh.shape[axis]
-
     def local(descA, descB_s, validA, validB_s):
-        k1 = descA.shape[0]
-        k2s = descB_s.shape[0]
-        dist = m.hamming_matrix(descA, descB_s, validA, validB_s)
-        bidx, best, second = m._best_two(dist)
-        shard = jax.lax.axis_index(axis)
-        gidx = bidx + shard * k2s
-
-        all_best = jax.lax.all_gather(best, axis)      # (n, K1)
-        all_second = jax.lax.all_gather(second, axis)  # (n, K1)
-        all_idx = jax.lax.all_gather(gidx, axis)       # (n, K1)
-
-        w = jnp.argmin(all_best, axis=0)               # winning shard per row
-        rows = jnp.arange(k1)
-        best_g = all_best[w, rows]
-        idx_g = all_idx[w, rows]
-        # second best of the union = min over (all seconds, losing bests)
-        masked = all_best.at[w, rows].set(m.MAX_DIST)
-        second_g = jnp.minimum(jnp.min(all_second, axis=0),
-                               jnp.min(masked, axis=0))
-
-        ok = best_g <= max_distance
-        ok &= best_g.astype(jnp.float32) < ratio * second_g.astype(jnp.float32)
-        if cross_check:
-            rbest = jnp.argmin(dist, axis=0)           # per local column
-            all_rbest = jax.lax.all_gather(rbest, axis).reshape(n * k2s)
-            ok &= all_rbest[idx_g] == rows
-        ok &= validA
-        return (jnp.where(ok, idx_g, -1),
-                jnp.where(ok, best_g, m.MAX_DIST))
+        from .. import matching as m
+        idx_g, best_g = _sharded_match_local(
+            axis, mesh.shape[axis], descA, descB_s, validA, validB_s,
+            max_distance, ratio, cross_check)
+        return idx_g, jnp.where(idx_g >= 0, best_g, m.MAX_DIST)
 
     rep, sh = P(), P(axis)
 

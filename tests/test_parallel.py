@@ -248,3 +248,122 @@ def test_checkpointed_runner_resumes(tmp_path):
     s2 = r2.run(s2, range(5))
     assert float(s2["acc"]) == 10.0
     assert calls == []  # final checkpoint covered all 5 steps
+
+
+def test_sharded_map_tracker_matches_single():
+    """Landmark map sharded 4-ways: tracking == single-device track_map_state
+    (bit-identical association, pose to float tolerance)."""
+    from pislam_tpu.backend import keyframes as kfs
+    from pislam_tpu.frontend import Features
+    from pislam_tpu.models.slam import track_map_state
+
+    rng = np.random.default_rng(13)
+    cfg = PislamConfig()
+    L = cfg.map.max_landmarks          # 8192, divisible by 4
+    K = 256
+    nlm = 300
+    lmap = kfs.empty_map(L, cfg.frontend.words)
+    xyz = rng.uniform([-4, -3, 2], [4, 3, 10], (nlm, 3)).astype(np.float32)
+    desc = rng.integers(0, 2**31, (nlm, 8), dtype=np.int64).astype(np.uint32)
+    lmap = lmap._replace(
+        xyz=lmap.xyz.at[:nlm].set(xyz),
+        descriptors=lmap.descriptors.at[:nlm].set(desc),
+        valid=lmap.valid.at[:nlm].set(True))
+
+    # query features: noisy landmark views projected with a known pose
+    R0 = np.eye(3, dtype=np.float32)
+    t0 = np.float32([0.05, -0.02, 0.01])
+    pick = rng.integers(0, nlm, K)
+    xc = xyz[pick] @ R0.T + t0
+    pts = (xc[:, :2] / xc[:, 2:]).astype(np.float32)
+    pts += rng.normal(0, 1e-3, pts.shape).astype(np.float32)
+    feats = Features(
+        codes=jnp.zeros(K, jnp.uint32), valid=jnp.ones(K, bool),
+        angles=jnp.zeros(K, jnp.uint8),
+        descriptors=jnp.asarray(desc[pick]))
+
+    Rs, ts_, ni_s, assoc_s = jax.jit(
+        lambda lm, f, p, R, t: track_map_state(cfg, lm, f, p, R, t))(
+        lmap, feats, jnp.asarray(pts), jnp.asarray(R0), jnp.asarray(t0))
+
+    m = meshmod.make_mesh(MeshConfig(data_parallel=2, model_parallel=4))
+    run = dist.make_sharded_map_tracker(cfg, m)
+    Rd, td, ni_d, assoc_d = run(lmap, feats, jnp.asarray(pts),
+                                jnp.asarray(R0), jnp.asarray(t0))
+
+    assert int(ni_s) > 50  # the scenario must actually track
+    assert int(ni_s) == int(ni_d)
+    assert np.array_equal(np.asarray(assoc_s), np.asarray(assoc_d))
+    np.testing.assert_allclose(np.asarray(Rd), np.asarray(Rs), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(td), np.asarray(ts_), atol=1e-5)
+
+
+def test_sharded_store_counts_matches_single():
+    """Keyframe store sharded 4-ways: loop-detection counts identical."""
+    from pislam_tpu import matching
+    from pislam_tpu.backend import keyframes as kfs
+    from pislam_tpu.frontend import Features
+
+    rng = np.random.default_rng(17)
+    cfg = PislamConfig()
+    F, K = cfg.map.keyframe_capacity, 128
+    store = kfs.empty_store(F, K, cfg.frontend.words)
+    desc = rng.integers(0, 2**31, (F, K, 8), dtype=np.int64).astype(np.uint32)
+    kv = rng.random((F, K)) < 0.8
+    store = store._replace(
+        descriptors=jnp.asarray(desc), kp_valid=jnp.asarray(kv),
+        valid=jnp.ones(F, bool))
+    # query shares many descriptors with keyframe 5
+    q = desc[5].copy()
+    q[::3] = rng.integers(0, 2**31, (len(q[::3]), 8),
+                          dtype=np.int64).astype(np.uint32)
+    feats = Features(
+        codes=jnp.zeros(K, jnp.uint32), valid=jnp.ones(K, bool),
+        angles=jnp.zeros(K, jnp.uint8), descriptors=jnp.asarray(q))
+
+    counts_s = matching.match_many(
+        store.descriptors, store.kp_valid, feats.descriptors, feats.valid,
+        max_distance=cfg.matcher.max_distance, ratio=cfg.matcher.ratio,
+        cross_check=cfg.matcher.cross_check)[1]
+
+    m = meshmod.make_mesh(MeshConfig(data_parallel=2, model_parallel=4))
+    run = dist.make_sharded_store_counts(cfg, m)
+    counts_d = run(store, feats)
+
+    assert int(np.argmax(np.asarray(counts_s))) == 5
+    assert np.array_equal(np.asarray(counts_s), np.asarray(counts_d))
+
+
+def test_sharded_map_slam_end_to_end():
+    """KeyframeSLAM(mesh=...) == KeyframeSLAM() on the synthetic scene:
+    same keyframe decisions, same loop detection, trajectories close."""
+    from test_models import (make_world, make_trajectory, projector,
+                             tiny_cfg, FX, FY, CX, CY)
+    from pislam_tpu.models.slam import KeyframeSLAM
+
+    xyz, desc = make_world(seed=21)
+    Rs, ts_ = make_trajectory(14)
+    cfg = tiny_cfg()
+    proj = projector(xyz, desc, Rs, ts_)
+
+    single = KeyframeSLAM(cfg, FX, FY, CX, CY, features_fn=proj,
+                          keyframe_min_inliers=220, keyframe_max_gap=4)
+    m = meshmod.make_mesh(MeshConfig(data_parallel=2, model_parallel=4))
+    sharded = KeyframeSLAM(cfg, FX, FY, CX, CY, features_fn=proj,
+                           keyframe_min_inliers=220, keyframe_max_gap=4,
+                           mesh=m)
+    for i in range(14):
+        a = single.process(i)
+        b = sharded.process(i)
+        assert a["keyframe"] == b["keyframe"], i
+        assert a["num_inliers"] == b["num_inliers"], i
+        assert abs(a["map_inliers"] - b["map_inliers"]) <= 2, i
+    assert sharded.num_keyframes == single.num_keyframes
+    assert sharded.keyframe_frames == single.keyframe_frames
+    np.testing.assert_allclose(
+        np.stack(sharded.trajectory), np.stack(single.trajectory), atol=2e-3)
+
+    # loop detection against the sharded store agrees
+    pose = sharded.relocalise(3, min_matches=30)
+    assert pose is not None
+    assert np.linalg.norm(np.asarray(pose[0]) - Rs[3]) < 0.06
