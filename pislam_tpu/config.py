@@ -175,6 +175,12 @@ class MapConfig:
     min_map_inliers: int = 25
     pnp_iters: int = 8
     pnp_inlier_threshold: float = 6e-3
+    # projection gate for map matching (normalised-plane radius; 0 = off):
+    # landmarks are projected with the pose prior and each feature matches
+    # only within this radius (matching.match_gated). Resolves descriptor
+    # aliasing -- without the gate, a far-away landmark with a similar
+    # descriptor makes the Lowe ratio test kill the correct match.
+    gate_radius: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -108,6 +108,40 @@ def match(desc1, desc2, valid1, valid2, max_distance: int = 64,
 
 
 @partial(jax.jit, static_argnames=("max_distance", "cross_check"))
+def match_gated(desc1, desc2, valid1, valid2, uv1, uv2, radius: float,
+                max_distance: int = 64, ratio: float = 0.8,
+                cross_check: bool = True):
+    """Projection-gated matching: only pairs within `radius` of each other
+    on the normalised image plane are candidates.
+
+    The ORB-SLAM local-map idiom (the reference never shipped matching at
+    all, README.md:125-128): landmarks are projected with a pose prior and
+    each feature matches only against landmarks landing nearby. Beyond the
+    search-space cut this changes the STATISTICS of the ratio test -- the
+    second-best is the second-best WITHIN the gate, so far-away landmarks
+    with similar (aliased) descriptors no longer kill correct matches.
+
+    uv1 (K1, 2), uv2 (K2, 2): normalised-plane coordinates of the query
+    features and the projected landmarks (pass inf/large values for
+    behind-camera projections to exclude them). Gating works on the dense
+    (K1, K2) distance matrix: at map scale this materialises the matrix in
+    HBM (the ungated Pallas kernel never does), but it runs at keyframe/
+    tracking rate where the MXU matmul still dominates.
+    """
+    dist = hamming_matrix(desc1, desc2, valid1, valid2)
+    d2 = jnp.sum((uv1[:, None, :] - uv2[None, :, :]) ** 2, axis=-1)
+    dist = jnp.where(d2 <= radius * radius, dist, MAX_DIST)
+    idx2, best, second = _best_two(dist)
+    ok = best <= max_distance
+    ok &= best.astype(jnp.float32) < ratio * second.astype(jnp.float32)
+    if cross_check:
+        rbest_idx = jnp.argmin(dist, axis=0)
+        ok &= rbest_idx[idx2] == jnp.arange(desc1.shape[0])
+    ok &= valid1
+    return jnp.where(ok, idx2, -1), jnp.where(ok, best, MAX_DIST)
+
+
+@partial(jax.jit, static_argnames=("max_distance", "cross_check"))
 def match_many(descs, valids, desc2, valid2, max_distance: int = 64,
                ratio: float = 0.8, cross_check: bool = True):
     """Match a whole keyframe store against one query frame in ONE dispatch.

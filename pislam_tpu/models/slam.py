@@ -143,16 +143,38 @@ def insert_keyframe_state(cap: int, st: SlamState, feats: Features, pts,
     return SlamState(store, lmap, obs, counters, st.key)
 
 
+def project_landmarks(lmap: kfs.LandmarkMap, R0, t0):
+    """Landmark positions -> normalised-plane coords under a pose prior.
+
+    Behind-camera landmarks project to a far-away sentinel so a projection
+    gate can never select them."""
+    xc = lmap.xyz @ R0.T + t0
+    z = xc[:, 2]
+    uv = xc[:, :2] / jnp.maximum(z, 1e-6)[:, None]
+    return jnp.where((z > 1e-6)[:, None], uv, jnp.float32(1e6))
+
+
 def track_map_state(cfg: PislamConfig, lmap: kfs.LandmarkMap, feats: Features,
                     pts, R0, t0):
     """Pure local-map tracking: match features to landmark descriptors and
     refine the pose with motion-only BA. Shared by the host loop and the
-    tracking scan. Returns (R, t, num_inliers, assoc)."""
+    tracking scan. Returns (R, t, num_inliers, assoc).
+
+    With cfg.map.gate_radius > 0 the match is projection-gated: landmarks
+    are projected with the (R0, t0) prior and each feature only matches
+    within the gate (matching.match_gated, the ORB-SLAM local-map idiom)."""
     mc = cfg.map
-    idx, _ = matching.match(
-        feats.descriptors, lmap.descriptors, feats.valid, lmap.valid,
-        max_distance=mc.map_match_max_distance,
-        ratio=cfg.matcher.ratio, cross_check=True)
+    if mc.gate_radius > 0:
+        idx, _ = matching.match_gated(
+            feats.descriptors, lmap.descriptors, feats.valid, lmap.valid,
+            pts, project_landmarks(lmap, R0, t0), mc.gate_radius,
+            max_distance=mc.map_match_max_distance,
+            ratio=cfg.matcher.ratio, cross_check=True)
+    else:
+        idx, _ = matching.match(
+            feats.descriptors, lmap.descriptors, feats.valid, lmap.valid,
+            max_distance=mc.map_match_max_distance,
+            ratio=cfg.matcher.ratio, cross_check=True)
     ok = idx >= 0
     xyz = lmap.xyz[jnp.clip(idx, 0)]
     out = pnp.motion_only_ba(

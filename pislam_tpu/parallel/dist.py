@@ -165,7 +165,8 @@ def batch_slam_states(cfg: PislamConfig, n: int, seed: int = 7):
 
 
 def _sharded_match_local(axis: str, n: int, descA, descB_s, validA, validB_s,
-                         max_distance: int, ratio: float, cross_check: bool):
+                         max_distance: int, ratio: float, cross_check: bool,
+                         gate=None):
     """Per-device body of cross-shard matching (inside shard_map).
 
     Query (descA) replicated, database (descB_s) row-sharded on `axis`.
@@ -180,6 +181,10 @@ def _sharded_match_local(axis: str, n: int, descA, descB_s, validA, validB_s,
     k1 = descA.shape[0]
     k2s = descB_s.shape[0]
     dist = m.hamming_matrix(descA, descB_s, validA, validB_s)
+    if gate is not None:  # (uvA (K1,2), uvB_s (K2s,2), radius): projection
+        uvA, uvB_s, radius = gate
+        d2 = jnp.sum((uvA[:, None, :] - uvB_s[None, :, :]) ** 2, axis=-1)
+        dist = jnp.where(d2 <= radius * radius, dist, m.MAX_DIST)
     bidx, best, second = m._best_two(dist)
     shard = jax.lax.axis_index(axis)
     gidx = bidx + shard * k2s
@@ -231,9 +236,16 @@ def make_sharded_map_tracker(cfg: PislamConfig, mesh: Mesh,
 
     def local(desc_s, valid_s, xyz_s, fdesc, fvalid, pts, R0, t0):
         ls = desc_s.shape[0]
+        gate = None
+        if mc.gate_radius > 0:  # shard-local landmark projection gate
+            xc = xyz_s @ R0.T + t0
+            z = xc[:, 2]
+            uvl = xc[:, :2] / jnp.maximum(z, 1e-6)[:, None]
+            uvl = jnp.where((z > 1e-6)[:, None], uvl, jnp.float32(1e6))
+            gate = (pts, uvl, mc.gate_radius)
         idx, _ = _sharded_match_local(
             axis, n, fdesc, desc_s, fvalid, valid_s,
-            mc.map_match_max_distance, cfg.matcher.ratio, True)
+            mc.map_match_max_distance, cfg.matcher.ratio, True, gate=gate)
         ok = idx >= 0
         # shard-local landmark-position fetch, merged with one psum
         shard = jax.lax.axis_index(axis)

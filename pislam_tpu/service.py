@@ -26,9 +26,10 @@ import os
 import sys
 
 
-def build_config(w: int, h: int, levels: int = 4, max_keypoints: int = 512):
+def build_config(w: int, h: int, levels: int = 4, max_keypoints: int = 512,
+                 gate_radius: float = 0.0):
     """Serving defaults: demo thresholds, VGA-class pyramid geometry."""
-    from .config import (BAConfig, FrontendConfig, MatcherConfig,
+    from .config import (BAConfig, FrontendConfig, MapConfig, MatcherConfig,
                          PislamConfig, PyramidConfig, VOConfig)
     return PislamConfig(
         pyramid=PyramidConfig(base_width=w, base_height=h, num_levels=levels),
@@ -37,6 +38,7 @@ def build_config(w: int, h: int, levels: int = 4, max_keypoints: int = 512):
         matcher=MatcherConfig(max_distance=64, ratio=0.85),
         vo=VOConfig(ransac_iters=256, inlier_threshold=2e-3, min_inliers=20),
         ba=BAConfig(window=6, max_points=1024, max_obs=4096, gn_iters=4),
+        map=MapConfig(gate_radius=gate_radius),
     )
 
 
@@ -93,6 +95,10 @@ def main(argv=None):
     ap.add_argument("--cx", type=float), ap.add_argument("--cy", type=float)
     ap.add_argument("--levels", type=int, default=4)
     ap.add_argument("--max-keypoints", type=int, default=512)
+    ap.add_argument("--gate-radius", type=float, default=0.0,
+                    help="projection gate for map matching (normalised-"
+                         "plane radius, 0 = off): resolves repetitive-"
+                         "texture descriptor aliasing")
     ap.add_argument("--keyframe-min-inliers", type=int, default=60)
     ap.add_argument("--keyframe-max-gap", type=int, default=3)
     ap.add_argument("--max-frames", type=int, default=0)
@@ -146,7 +152,8 @@ def main(argv=None):
         intr = (0.9 * w, 0.9 * w, w / 2.0, h / 2.0)
     fx, fy, cx, cy = intr
 
-    cfg = build_config(w, h, args.levels, args.max_keypoints)
+    cfg = build_config(w, h, args.levels, args.max_keypoints,
+                       gate_radius=args.gate_radius)
     metrics = (Metrics(sink=lambda s: print(s, file=sys.stderr, flush=True))
                if args.metrics else NullMetrics())
     slam = KeyframeSLAM(cfg, fx, fy, cx, cy,

@@ -69,3 +69,41 @@ def test_cross_check_rejects_many_to_one():
     idx, _ = matching.match(d1, d, np.ones(2, bool), np.ones(1, bool),
                             max_distance=64, ratio=1.0)
     assert (np.asarray(idx) >= 0).sum() <= 1
+
+
+def test_match_gated_equivalent_when_gate_open():
+    """A gate wider than the scene reproduces ungated matching exactly."""
+    rng = np.random.default_rng(9)
+    d1, d2 = random_desc(64, rng), random_desc(128, rng)
+    v1 = rng.random(64) < 0.9
+    v2 = rng.random(128) < 0.9
+    uv1 = rng.uniform(-1, 1, (64, 2)).astype(np.float32)
+    uv2 = rng.uniform(-1, 1, (128, 2)).astype(np.float32)
+    idx_u, dist_u = matching.match(d1, d2, v1, v2, max_distance=80,
+                                   ratio=0.9)
+    idx_g, dist_g = matching.match_gated(d1, d2, v1, v2, uv1, uv2, 100.0,
+                                         max_distance=80, ratio=0.9)
+    assert np.array_equal(np.asarray(idx_u), np.asarray(idx_g))
+    assert np.array_equal(np.asarray(dist_u), np.asarray(dist_g))
+
+
+def test_match_gated_resolves_aliased_descriptors():
+    """Two landmarks with the SAME descriptor at far-apart locations: the
+    ungated ratio test kills the match (best == second), the projection
+    gate resolves each query to the nearby copy."""
+    rng = np.random.default_rng(10)
+    d = random_desc(2, rng)
+    db = np.vstack([d[0], d[0]])            # aliased pair
+    q = d[0][None]
+    v1, v2 = np.ones(1, bool), np.ones(2, bool)
+    uvq = np.float32([[0.1, 0.1]])
+    uvdb = np.float32([[0.1, 0.1], [0.9, -0.7]])  # copy 0 nearby, copy 1 far
+
+    idx_u, _ = matching.match(q, db, v1, v2, max_distance=64, ratio=0.8,
+                              cross_check=False)
+    assert int(np.asarray(idx_u)[0]) == -1  # ratio kill: best == second
+
+    idx_g, _ = matching.match_gated(q, db, v1, v2, uvq, uvdb, 0.05,
+                                    max_distance=64, ratio=0.8,
+                                    cross_check=False)
+    assert int(np.asarray(idx_g)[0]) == 0   # gate removes the far alias

@@ -440,3 +440,57 @@ def test_lost_tracking_recovery():
     assert not out["lost"], out
     assert out["num_inliers"] >= 12
     assert np.linalg.norm(np.asarray(out["pose_R"]) - Rs[3]) < 0.15
+
+
+def test_gated_map_tracking_resolves_aliases():
+    """Aliased landmark descriptors (repetitive texture): the projection
+    gate recovers map matches the global ratio test kills."""
+    import dataclasses as dc
+
+    import jax
+
+    from pislam_tpu.backend import keyframes as kfs
+    from pislam_tpu.models.slam import track_map_state
+
+    rng = np.random.default_rng(23)
+    cfg = tiny_cfg()
+    L = cfg.map.max_landmarks
+    n = 120
+    xyz = rng.uniform([-4, -3, 3], [4, 3, 9], (n, 3)).astype(np.float32)
+    desc = rng.integers(0, 2**31, (n // 2, 8),
+                        dtype=np.int64).astype(np.uint32)
+    desc = np.vstack([desc, desc])          # every descriptor occurs TWICE
+    lmap = kfs.empty_map(L, 8)
+    lmap = lmap._replace(
+        xyz=lmap.xyz.at[:n].set(xyz),
+        descriptors=lmap.descriptors.at[:n].set(desc),
+        valid=lmap.valid.at[:n].set(True))
+
+    R0 = np.eye(3, dtype=np.float32)
+    t0 = np.zeros(3, np.float32)
+    K = K_SLOTS
+    pick = rng.permutation(n)[:K % n] if K < n else np.arange(n)
+    xc = xyz[pick]
+    pts = (xc[:, :2] / xc[:, 2:]).astype(np.float32)
+    pad = K - len(pick)
+    feats = Features(
+        codes=jnp.zeros(K, jnp.uint32),
+        valid=jnp.asarray(np.r_[np.ones(len(pick), bool), np.zeros(pad, bool)]),
+        angles=jnp.zeros(K, jnp.uint8),
+        descriptors=jnp.asarray(np.vstack(
+            [desc[pick], np.zeros((pad, 8), np.uint32)])))
+    pts_full = jnp.asarray(np.vstack([pts, np.zeros((pad, 2), np.float32)]))
+
+    _, _, ni_u, _ = jax.jit(lambda lm, f, p: track_map_state(
+        cfg, lm, f, p, jnp.asarray(R0), jnp.asarray(t0)))(
+        lmap, feats, pts_full)
+
+    cfg_g = dc.replace(cfg, map=dc.replace(cfg.map, gate_radius=0.05))
+    _, _, ni_g, _ = jax.jit(lambda lm, f, p: track_map_state(
+        cfg_g, lm, f, p, jnp.asarray(R0), jnp.asarray(t0)))(
+        lmap, feats, pts_full)
+
+    # global matching: every aliased pair ties the ratio test -> ~0 inliers
+    assert int(ni_u) < 10, int(ni_u)
+    # gated: each feature resolves to its nearby copy
+    assert int(ni_g) > 80, int(ni_g)

@@ -367,3 +367,52 @@ def test_sharded_map_slam_end_to_end():
     pose = sharded.relocalise(3, min_matches=30)
     assert pose is not None
     assert np.linalg.norm(np.asarray(pose[0]) - Rs[3]) < 0.06
+
+
+def test_sharded_map_tracker_gated_matches_single():
+    """Projection-gated map tracking: sharded == single-device."""
+    import dataclasses as dc
+
+    from pislam_tpu.backend import keyframes as kfs
+    from pislam_tpu.frontend import Features
+    from pislam_tpu.models.slam import track_map_state
+
+    rng = np.random.default_rng(29)
+    base = PislamConfig()
+    cfg = dc.replace(base, map=dc.replace(base.map, gate_radius=0.06))
+    L = cfg.map.max_landmarks
+    K, nlm = 192, 240
+    xyz = rng.uniform([-4, -3, 2], [4, 3, 10], (nlm, 3)).astype(np.float32)
+    # aliased descriptors so the gate MATTERS for the result
+    desc = rng.integers(0, 2**31, (nlm // 2, 8),
+                        dtype=np.int64).astype(np.uint32)
+    desc = np.vstack([desc, desc])
+    lmap = kfs.empty_map(L, 8)
+    lmap = lmap._replace(
+        xyz=lmap.xyz.at[:nlm].set(xyz),
+        descriptors=lmap.descriptors.at[:nlm].set(desc),
+        valid=lmap.valid.at[:nlm].set(True))
+
+    R0 = np.eye(3, dtype=np.float32)
+    t0 = np.float32([0.02, 0.01, -0.01])
+    pick = rng.integers(0, nlm, K)
+    xc = xyz[pick] @ R0.T + t0
+    pts = (xc[:, :2] / xc[:, 2:]).astype(np.float32)
+    feats = Features(
+        codes=jnp.zeros(K, jnp.uint32), valid=jnp.ones(K, bool),
+        angles=jnp.zeros(K, jnp.uint8), descriptors=jnp.asarray(desc[pick]))
+
+    Rs, ts_, ni_s, assoc_s = jax.jit(
+        lambda lm, f, p, R, t: track_map_state(cfg, lm, f, p, R, t))(
+        lmap, feats, jnp.asarray(pts), jnp.asarray(R0), jnp.asarray(t0))
+
+    m = meshmod.make_mesh(MeshConfig(data_parallel=2, model_parallel=4))
+    run = dist.make_sharded_map_tracker(cfg, m)
+    Rd, td, ni_d, assoc_d = run(lmap, feats, jnp.asarray(pts),
+                                jnp.asarray(R0), jnp.asarray(t0))
+
+    assert int(ni_s) > 100  # the gate resolves the aliased map
+    assert int(ni_s) == int(ni_d)
+    assert np.array_equal(np.asarray(assoc_s), np.asarray(assoc_d))
+    np.testing.assert_allclose(np.asarray(Rd), np.asarray(Rs), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(td), np.asarray(ts_), atol=1e-5)
