@@ -189,7 +189,7 @@ class KeyframeSLAM:
     def __init__(self, cfg: PislamConfig, fx, fy, cx, cy, features_fn=None,
                  keyframe_min_inliers: int = 60, keyframe_max_gap: int = 10,
                  seed: int = 7, metrics=None, reloc_min_matches: int = 30,
-                 mesh=None):
+                 mesh=None, dist=None):
         from ..utils.metrics import NullMetrics
 
         self.cfg = cfg
@@ -197,7 +197,8 @@ class KeyframeSLAM:
         # counters/gauges updated every frame, emitted by the driver as JSON
         # lines (the reference's whole story was one cout, demo.cpp:113-114)
         self.metrics = metrics if metrics is not None else NullMetrics()
-        self.vo = VisualOdometry(cfg, fx, fy, cx, cy, features_fn=features_fn)
+        self.vo = VisualOdometry(cfg, fx, fy, cx, cy,
+                                 features_fn=features_fn, dist=dist)
         self.keyframe_min_inliers = keyframe_min_inliers
         self.keyframe_max_gap = keyframe_max_gap
         self.reloc_min_matches = reloc_min_matches
@@ -304,7 +305,7 @@ class KeyframeSLAM:
         feats = self.vo.extract(frame)
         pts = normalise_points(
             feats, self.vo.fx, self.vo.fy, self.vo.cx, self.vo.cy,
-            self.vo.level_rows, self.vo.level_scales)
+            self.vo.level_rows, self.vo.level_scales, dist=self.vo.dist)
         return feats, pts
 
     def _localise_against(self, desc, valid, ref_pts, feats, pts):
@@ -464,7 +465,7 @@ class KeyframeSLAM:
             self._chunk_scan = make_slam_track_scan(
                 self.cfg, self.vo.fx, self.vo.fy, self.vo.cx, self.vo.cy,
                 keyframe_min_inliers=self.keyframe_min_inliers,
-                keyframe_max_gap=self.keyframe_max_gap)
+                keyframe_max_gap=self.keyframe_max_gap, dist=self.vo.dist)
         frames = jnp.asarray(frames)
         m = self.metrics
         n_kf_before = self._num_kf

@@ -46,7 +46,7 @@ from .visual_odometry import normalise_points
 def make_slam_track_scan(cfg: PislamConfig, fx: float, fy: float,
                          cx: float, cy: float,
                          keyframe_min_inliers: int = 60,
-                         keyframe_max_gap: int = 10):
+                         keyframe_max_gap: int = 10, dist=None):
     """Build the jitted ``(SlamState, frames (T, H, W) u8) -> (SlamState,
     outs)`` tracking scan. ``outs`` holds per-frame pose_R/pose_t/keyframe/
     num_inliers/map_inliers (same fields KeyframeSLAM.process returns)."""
@@ -65,7 +65,7 @@ def make_slam_track_scan(cfg: PislamConfig, fx: float, fy: float,
         stack = pyr_ops.build_pyramid(frame, pc)
         feats = _extract_impl(stack, mask, cfg)
         pts = normalise_points(feats, fx, fy, cx, cy,
-                               level_rows, level_scales)
+                               level_rows, level_scales, dist=dist)
         return feats, pts
 
     def step(carry, frame):

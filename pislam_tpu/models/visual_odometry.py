@@ -40,12 +40,15 @@ class VOState(NamedTuple):
     key: jax.Array
 
 
-def normalise_points(feats: Features, fx, fy, cx, cy, level_rows, level_scales):
+def normalise_points(feats: Features, fx, fy, cx, cy, level_rows,
+                     level_scales, dist=None):
     """Pixel keypoints (stacked-pyramid coords) -> normalised level-0 coords.
 
     Keypoint y is a global pyramid row; subtract its level origin and scale
     coords back to level 0 by the level's downscale factor before applying
-    the inverse intrinsics.
+    the inverse intrinsics. ``dist`` is an optional (k1, k2, p1, p2) lens
+    distortion to undo (geometry/camera.py) -- real cameras are not ideal
+    pinholes and the epipolar geometry downstream assumes ideal coords.
     """
     ys = feats.ys
     xs = feats.xs
@@ -55,7 +58,11 @@ def normalise_points(feats: Features, fx, fy, cx, cy, level_rows, level_scales):
     scale = jnp.asarray(level_scales, jnp.float32)[lvl]
     u = xs.astype(jnp.float32) * scale
     v = y_local.astype(jnp.float32) * scale
-    return jnp.stack([(u - cx) / fx, (v - cy) / fy], axis=1)
+    pts = jnp.stack([(u - cx) / fx, (v - cy) / fy], axis=1)
+    if dist is not None:
+        from ..geometry import camera
+        pts = camera.undistort_normalised(pts, *dist)
+    return pts
 
 
 def vo_step(mc, vc, state: VOState, feats: Features, pts):
@@ -93,7 +100,7 @@ def vo_step(mc, vc, state: VOState, feats: Features, pts):
 
 
 def make_vo_scan(cfg: PislamConfig, fx: float, fy: float,
-                 cx: float, cy: float):
+                 cx: float, cy: float, dist=None):
     """Device-resident VO over a whole sequence: one ``lax.scan``.
 
     The Python-driven loop dispatches ~3 jitted calls plus host readbacks
@@ -127,7 +134,7 @@ def make_vo_scan(cfg: PislamConfig, fx: float, fy: float,
         stack = pyr_ops.build_pyramid(frame, pc)
         feats = _extract_impl(stack, mask, cfg)
         pts = normalise_points(feats, fx, fy, cx, cy,
-                               level_rows, level_scales)
+                               level_rows, level_scales, dist=dist)
         return feats, pts
 
     def step(state, frame):
@@ -156,11 +163,12 @@ class VisualOdometry:
     """Monocular VO driver. Intrinsics in pixels at pyramid level 0."""
 
     def __init__(self, cfg: PislamConfig, fx: float, fy: float,
-                 cx: float, cy: float, features_fn=None):
+                 cx: float, cy: float, features_fn=None, dist=None):
         self.cfg = cfg
         pc = cfg.pyramid
         self.extract = features_fn or self._make_image_frontend()
         self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
+        self.dist = tuple(dist) if dist is not None else None
         self.level_rows = pc.level_rows
         # per-level scale back to level 0 = base_width / level_width
         self.level_scales = tuple(
@@ -186,14 +194,16 @@ class VisualOdometry:
     def init(self, frame, seed: int = 0) -> VOState:
         feats = self.extract(frame)
         pts = normalise_points(feats, self.fx, self.fy, self.cx, self.cy,
-                               self.level_rows, self.level_scales)
+                               self.level_rows, self.level_scales,
+                               dist=self.dist)
         return VOState(R=jnp.eye(3), t=jnp.zeros(3), prev=feats,
                        prev_pts=pts, key=jax.random.PRNGKey(seed))
 
     def process(self, state: VOState, frame):
         feats = self.extract(frame)
         pts = normalise_points(feats, self.fx, self.fy, self.cx, self.cy,
-                               self.level_rows, self.level_scales)
+                               self.level_rows, self.level_scales,
+                               dist=self.dist)
         return self._step(state, feats, pts)
 
     def camera_position(self, state: VOState) -> np.ndarray:

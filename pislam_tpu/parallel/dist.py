@@ -97,7 +97,7 @@ def make_streaming_pipeline(cfg: PislamConfig, mesh: Mesh):
 
 
 def make_vo_streaming(cfg: PislamConfig, fx: float, fy: float,
-                      cx: float, cy: float, mesh: Mesh):
+                      cx: float, cy: float, mesh: Mesh, dist=None):
     """Data-parallel device-resident VO: one full trajectory per stream.
 
     frames (B, T, H, W) uint8 with B sharded on "data" (a multi-camera rig
@@ -111,7 +111,7 @@ def make_vo_streaming(cfg: PislamConfig, fx: float, fy: float,
     """
     from ..models.visual_odometry import make_vo_scan
 
-    one = make_vo_scan(cfg, fx, fy, cx, cy)
+    one = make_vo_scan(cfg, fx, fy, cx, cy, dist=dist)
 
     @jax.jit
     def run(frames, keys):
@@ -127,7 +127,7 @@ def make_vo_streaming(cfg: PislamConfig, fx: float, fy: float,
 def make_slam_streaming(cfg: PislamConfig, fx: float, fy: float,
                         cx: float, cy: float, mesh: Mesh,
                         keyframe_min_inliers: int = 60,
-                        keyframe_max_gap: int = 10):
+                        keyframe_max_gap: int = 10, dist=None):
     """Data-parallel multi-session SLAM: one independent map per stream.
 
     frames (B, T, H, W) uint8 with B sharded on "data"; states a SlamState
@@ -143,7 +143,7 @@ def make_slam_streaming(cfg: PislamConfig, fx: float, fy: float,
 
     one = make_slam_track_scan(
         cfg, fx, fy, cx, cy, keyframe_min_inliers=keyframe_min_inliers,
-        keyframe_max_gap=keyframe_max_gap)
+        keyframe_max_gap=keyframe_max_gap, dist=dist)
 
     @jax.jit
     def run(states, frames):

@@ -93,6 +93,13 @@ def main(argv=None):
     ap.add_argument("--kitti-seq", default="00")
     ap.add_argument("--fx", type=float), ap.add_argument("--fy", type=float)
     ap.add_argument("--cx", type=float), ap.add_argument("--cy", type=float)
+    ap.add_argument("--k1", type=float, default=0.0,
+                    help="lens distortion (OpenCV k1 k2 p1 p2); points are "
+                         "undistorted on the normalised plane before any "
+                         "geometry (geometry/camera.py)")
+    ap.add_argument("--k2", type=float, default=0.0)
+    ap.add_argument("--p1", type=float, default=0.0)
+    ap.add_argument("--p2", type=float, default=0.0)
     ap.add_argument("--levels", type=int, default=4)
     ap.add_argument("--max-keypoints", type=int, default=512)
     ap.add_argument("--gate-radius", type=float, default=0.0,
@@ -156,10 +163,13 @@ def main(argv=None):
                        gate_radius=args.gate_radius)
     metrics = (Metrics(sink=lambda s: print(s, file=sys.stderr, flush=True))
                if args.metrics else NullMetrics())
+    distortion = None
+    if args.k1 or args.k2 or args.p1 or args.p2:
+        distortion = (args.k1, args.k2, args.p1, args.p2)
     slam = KeyframeSLAM(cfg, fx, fy, cx, cy,
                         keyframe_min_inliers=args.keyframe_min_inliers,
                         keyframe_max_gap=args.keyframe_max_gap,
-                        metrics=metrics)
+                        metrics=metrics, dist=distortion)
 
     poses = []  # (R, t) world->cam per processed frame
     loops_closed = [0]

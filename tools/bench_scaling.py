@@ -216,6 +216,54 @@ def main():
             "hardware ideal = 1.0 (run with --real on a slice).")
     print(json.dumps(report))
 
+    # ---- sharded-map matching weak scaling: map grows with devices ----
+    # (the KeyframeSLAM(mesh=...) loop-closure/relocalisation matmul:
+    # database rows sharded over the model axis, one all_gather merge)
+    k1 = 512
+    db_per_shard = 4096
+    match_results = {}
+    for n in sizes:
+        mesh = meshmod.make_mesh(
+            MeshConfig(data_parallel=1, model_parallel=n),
+            devices=jax.devices()[:n])
+        run = dist.make_sharded_match(mesh, max_distance=64, ratio=0.8,
+                                      cross_check=True)
+        qa = rng.integers(0, 2**31, (k1, 8),
+                          dtype=np.int64).astype(np.uint32)
+        db = rng.integers(0, 2**31, (n * db_per_shard, 8),
+                          dtype=np.int64).astype(np.uint32)
+        args = (jax.device_put(qa), jax.device_put(db),
+                jax.device_put(np.ones(k1, bool)),
+                jax.device_put(np.ones(n * db_per_shard, bool)))
+        out = run(*args)
+        jax.block_until_ready(out)
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            out = run(*args)
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        match_results[n] = 1.0 / float(np.median(times))
+
+    mbase = match_results[sizes[0]]
+    report = {
+        "metric": "sharded_map_match_weak_scaling",
+        "platform": jax.default_backend(),
+        "queries": k1,
+        "db_rows_per_shard": db_per_shard,
+        "matches_per_s": {str(n): round(v, 2)
+                          for n, v in match_results.items()},
+        "slowdown_vs_1dev": {
+            str(n): round(mbase / match_results[n], 3) for n in sizes},
+    }
+    if jax.default_backend() == "cpu":
+        report["note"] = (
+            "weak scaling (map grows with devices, per-shard work fixed) "
+            "on virtual devices sharing cores: ideal slowdown_vs_1dev = 1 "
+            "here because per-device FLOPs are constant; values near 1 "
+            "mean the all_gather merge adds no overhead.")
+    print(json.dumps(report))
+
 
 if __name__ == "__main__":
     main()
