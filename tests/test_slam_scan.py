@@ -83,3 +83,51 @@ def test_process_chunk_rejects_injected_frontend():
     slam = KeyframeSLAM(cfg, *intr, features_fn=lambda i: None)
     with pytest.raises(ValueError):
         slam.process_chunk(np.zeros((1, 256, 384), np.uint8))
+
+
+def test_chunk_boundary_lost_recovery():
+    """Chunk-mode kidnapped robot: when a chunk ends LOST the host
+    relocalises the last frame against the whole store and promotes it to
+    a recovery keyframe; the next chunk tracks against it. A camera pans
+    across a wide texture (consecutive windows overlap -> keyframes); the
+    kidnap revisits the START of the pan, which shares nothing with the
+    last keyframe but everything with the first."""
+    rng = np.random.default_rng(3)
+    h, w = 256, 384
+    step = 64
+    pan = rng.integers(0, 256, (h, w + 10 * step), np.uint8)
+
+    def window(off):
+        return np.ascontiguousarray(pan[:, off: off + w])
+
+    cfg, _frames, intr, _ = _load(2)
+    # every tracked frame becomes a keyframe (gap 1)
+    slam = KeyframeSLAM(cfg, *intr, keyframe_min_inliers=10**6,
+                        keyframe_max_gap=1, seed=7)
+
+    for i in range(11):
+        out = slam.process_chunk(window(i * step)[None])
+        assert bool(out["keyframe"][0]), i
+    assert slam.num_keyframes == 11
+    kf_before = slam.num_keyframes
+
+    # kidnap back to the start of the pan (+2px so it is not bit-identical
+    # to keyframe 0): no overlap with the last keyframe (offset 640) ->
+    # LOST on device; the chunk-boundary recovery relocalises against
+    # keyframe 0 and inserts a recovery keyframe
+    out = slam.process_chunk(window(2)[None])
+    assert slam.frames_lost >= 1
+    assert slam.relocalisations == 1
+    assert slam.num_keyframes == kf_before + 1
+    assert bool(out["keyframe"][0])
+
+    # the next chunk tracks against the recovery keyframe
+    out = slam.process_chunk(window(6)[None])
+    assert int(out["num_inliers"][0]) >= cfg.vo.min_inliers
+
+    # a pure-noise blackout chunk stays lost WITHOUT inserting anything
+    kf_now = slam.num_keyframes
+    blackout = rng.integers(0, 256, (h, w), np.uint8)
+    out = slam.process_chunk(blackout[None])
+    assert not bool(out["keyframe"][0])
+    assert slam.num_keyframes == kf_now
