@@ -11,6 +11,7 @@ Schur-complement reduction, sharded over device meshes with XLA collectives.
 from .config import (  # noqa: F401
     BAConfig,
     FrontendConfig,
+    MapConfig,
     MatcherConfig,
     MeshConfig,
     PislamConfig,

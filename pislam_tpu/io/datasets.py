@@ -128,6 +128,35 @@ def save_tum_trajectory(path: str, timestamps, Rs, ts):
                     f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}\n")
 
 
+def save_ply(path: str, points, colors=None, keyframe_positions=None):
+    """Write an ASCII PLY point cloud of the SLAM map.
+
+    points (N, 3) landmark world positions; optional colors (N, 3) uint8;
+    keyframe_positions (M, 3) are appended painted red so standard viewers
+    (MeshLab, CloudCompare, Open3D) show the camera path alongside the map.
+    The reference persists nothing but a painted PNG (demo.cpp:111); a
+    mapping system needs its map to leave the process.
+    """
+    points = np.asarray(points, np.float64).reshape(-1, 3)
+    if colors is None:
+        colors = np.full((len(points), 3), 200, np.uint8)
+    colors = np.asarray(colors, np.uint8).reshape(-1, 3)
+    kf = (np.asarray(keyframe_positions, np.float64).reshape(-1, 3)
+          if keyframe_positions is not None else np.zeros((0, 3)))
+    n = len(points) + len(kf)
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n"
+                f"element vertex {n}\n"
+                "property float x\nproperty float y\nproperty float z\n"
+                "property uchar red\nproperty uchar green\n"
+                "property uchar blue\nend_header\n")
+        for p, c in zip(points, colors):
+            f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f} "
+                    f"{c[0]} {c[1]} {c[2]}\n")
+        for p in kf:
+            f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f} 255 0 0\n")
+
+
 def load_kitti_poses(path: str) -> np.ndarray:
     """KITTI poses file: 12 floats per line (3x4 row-major). Returns
     (N, 3) camera positions (the translation column)."""

@@ -128,6 +128,9 @@ def main(argv=None):
                          "the end; each successful closure optimises the "
                          "pose graph immediately")
     ap.add_argument("--traj-out", help="write TUM-format trajectory here")
+    ap.add_argument("--map-out",
+                    help="write the final landmark map + keyframe path as "
+                         "an ASCII PLY point cloud here")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the sitecustomize preloads "
                          "the tunneled TPU platform; env vars alone are "
@@ -237,6 +240,11 @@ def main(argv=None):
         from .io.datasets import save_tum_trajectory
         save_tum_trajectory(args.traj_out, range(skipped, n_frames),
                             [p[0] for p in poses], [p[1] for p in poses])
+    if args.map_out:
+        from .io.datasets import save_ply
+        save_ply(args.map_out, slam.landmark_positions(),
+                 keyframe_positions=(slam.keyframe_positions()
+                                     if slam.num_keyframes else None))
 
     report = {"metric": "slam_service", "frames": n_frames,
               "resumed_at": skipped, "keyframes": slam.num_keyframes,

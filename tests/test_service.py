@@ -116,3 +116,23 @@ def test_service_chunked_scan_mode(tmp_path, capsys):
     assert "ate_rmse" in rep and rep["ate_rmse"] < 0.5
     stamps, xyz = load_tum_trajectory(traj)
     assert stamps.shape == (12,) and np.isfinite(xyz).all()
+
+
+def test_service_map_export(tmp_path, capsys):
+    """--map-out writes a valid PLY of landmarks + red keyframe path."""
+    ply = str(tmp_path / "map.ply")
+    service.main(["--seq", DATA, "--max-frames", "8", "--map-out", ply,
+                  "--no-loop-close"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    lines = open(ply).read().splitlines()
+    assert lines[0] == "ply" and "end_header" in lines
+    n = int(next(l for l in lines if l.startswith("element vertex"))
+            .split()[-1])
+    body = lines[lines.index("end_header") + 1:]
+    assert len(body) == n
+    assert n == rep["landmarks"] + rep["keyframes"]
+    # keyframe path entries are painted red and parse as floats
+    reds = [l for l in body if l.endswith(" 255 0 0")]
+    assert len(reds) == rep["keyframes"]
+    vals = np.array([l.split()[:3] for l in body], dtype=np.float64)
+    assert np.isfinite(vals).all()
