@@ -53,7 +53,9 @@ def test_committed_sequence_slam_with_loop_closure():
     assert 0 <= loop <= 2, f"loop closed to ordinal {loop}"
     # and the pose-graph correction must reduce keyframe ATE
     assert post < pre, (pre, post)
-    assert post < 0.20, f"post-closure keyframe ATE {post:.4f}"
+    # gate_radius=0.06 map matching: post-closure ATE ~0.045 on this
+    # sequence (was ~0.145 ungated); pin well under the ungated figure
+    assert post < 0.10, f"post-closure keyframe ATE {post:.4f}"
     # (recorded: pre ~0.189, post ~0.145 on a 3.16 m path)
 
 

@@ -33,8 +33,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def slam_config(w, h):
-    from pislam_tpu.config import (BAConfig, FrontendConfig, MatcherConfig,
-                                   PislamConfig, PyramidConfig, VOConfig)
+    from pislam_tpu.config import (BAConfig, FrontendConfig, MapConfig,
+                                   MatcherConfig, PislamConfig,
+                                   PyramidConfig, VOConfig)
     return PislamConfig(
         pyramid=PyramidConfig(base_width=w, base_height=h, num_levels=4),
         frontend=FrontendConfig(fast_threshold=20, harris_threshold=1 << 10,
@@ -42,6 +43,13 @@ def slam_config(w, h):
         matcher=MatcherConfig(max_distance=64, ratio=0.85),
         vo=VOConfig(ransac_iters=256, inlier_threshold=2e-3, min_inliers=20),
         ba=BAConfig(window=6, max_points=1024, max_obs=4096, gn_iters=4),
+        # projection-gated map matching (matching.match_gated). Swept on
+        # the committed sequence (post-closure keyframe ATE): off 0.145,
+        # 0.04 -> 0.193, 0.05 -> 0.183, 0.06 -> 0.045, 0.08 -> 0.071,
+        # 0.10 -> 0.109, 0.12 -> 0.122. Too tight rejects correct matches
+        # under an imperfect pose prior; too wide re-admits aliases.
+        # 0.06 ~ 15 px at this fx.
+        map=MapConfig(gate_radius=0.06),
     )
 
 
