@@ -131,6 +131,11 @@ def main(argv=None):
     ap.add_argument("--map-out",
                     help="write the final landmark map + keyframe path as "
                          "an ASCII PLY point cloud here")
+    ap.add_argument("--model-parallel", type=int, default=1,
+                    help="shard the landmark map + keyframe store over N "
+                         "devices (KeyframeSLAM(mesh=...)): map tracking "
+                         "and loop detection matmul per-shard and merge "
+                         "with one all_gather")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the sitecustomize preloads "
                          "the tunneled TPU platform; env vars alone are "
@@ -169,10 +174,16 @@ def main(argv=None):
     distortion = None
     if args.k1 or args.k2 or args.p1 or args.p2:
         distortion = (args.k1, args.k2, args.p1, args.p2)
+    mesh = None
+    if args.model_parallel > 1:
+        from .config import MeshConfig
+        from .parallel.mesh import make_mesh
+        mesh = make_mesh(MeshConfig(model_parallel=args.model_parallel),
+                         devices=jax.devices()[: args.model_parallel])
     slam = KeyframeSLAM(cfg, fx, fy, cx, cy,
                         keyframe_min_inliers=args.keyframe_min_inliers,
                         keyframe_max_gap=args.keyframe_max_gap,
-                        metrics=metrics, dist=distortion)
+                        metrics=metrics, dist=distortion, mesh=mesh)
 
     poses = []  # (R, t) world->cam per processed frame
     loops_closed = [0]

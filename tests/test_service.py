@@ -136,3 +136,16 @@ def test_service_map_export(tmp_path, capsys):
     assert len(reds) == rep["keyframes"]
     vals = np.array([l.split()[:3] for l in body], dtype=np.float64)
     assert np.isfinite(vals).all()
+
+
+def test_service_sharded_map_mode(capsys):
+    """--model-parallel 2 (sharded landmark map + keyframe store over the
+    virtual mesh) produces the same keyframe decisions as single-device."""
+    service.main(["--seq", DATA, "--max-frames", "10", "--no-loop-close"])
+    single = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    service.main(["--seq", DATA, "--max-frames", "10", "--no-loop-close",
+                  "--model-parallel", "2"])
+    sharded = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sharded["keyframes"] == single["keyframes"]
+    assert sharded["landmarks"] == single["landmarks"]
+    assert abs(sharded["ate_rmse"] - single["ate_rmse"]) < 2e-3
