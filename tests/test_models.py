@@ -494,3 +494,52 @@ def test_gated_map_tracking_resolves_aliases():
     assert int(ni_u) < 10, int(ni_u)
     # gated: each feature resolves to its nearby copy
     assert int(ni_g) > 80, int(ni_g)
+
+
+def test_ring_eviction_full_loop():
+    """Keyframe ring wraps several times during a live run: tracking, BA,
+    pose graph and loop closure must keep working on the surviving window
+    (oldest keyframes evicted, their observation rows dropped)."""
+    import dataclasses as dc
+
+    from pislam_tpu.config import MapConfig
+
+    xyz, desc = make_world(seed=41, n=600)
+    Rs, ts = make_trajectory(40)
+    base = tiny_cfg()
+    cfg = dc.replace(base, map=dc.replace(
+        base.map, keyframe_capacity=8, max_landmarks=2048, max_obs=4096))
+    slam = KeyframeSLAM(cfg, FX, FY, CX, CY,
+                        features_fn=projector(xyz, desc, Rs, ts),
+                        keyframe_min_inliers=10**6,  # keyframe every frame
+                        keyframe_max_gap=1)
+    for i in range(40):
+        out = slam.process(i)
+        assert not out["lost"], i
+    # the ring wrapped 5x: only the last 8 keyframes survive
+    kfs = slam.keyframes
+    assert len(kfs) == 8
+    assert [v.frame for v in kfs] == list(range(32, 40))
+    # evicted keyframes' observation rows are gone
+    obs_kf = np.asarray(slam.state.obs.kf)[np.asarray(slam.state.obs.valid)]
+    live_slots = {v.slot for v in kfs}
+    assert set(obs_kf.tolist()) <= live_slots
+    # the surviving window still matches ground truth (scale-aligned)
+    gt = np.stack([-Rs[v.frame].T @ ts[v.frame] for v in kfs])
+    err = ate_rmse(slam.keyframe_positions(), gt, with_scale=True)
+    assert err < 0.25, err
+    # pose graph + global BA still run on the wrapped ring
+    slam.optimise_pose_graph()
+    slam.global_ba()
+    slam.cull_landmarks()
+    # relocalise a recent frame against the surviving window
+    pose = slam.relocalise(38, min_matches=30)
+    assert pose is not None
+    assert np.linalg.norm(np.asarray(pose[0]) - Rs[38]) < 0.1
+    # a frame older than the surviving window must NOT relocalise against
+    # evicted keyframes' slots by accident -- either None or a sane pose
+    old = slam.relocalise(2, min_matches=30)
+    if old is not None:
+        # the world is globally visible; if it matches, rotation must be
+        # consistent with SOME real pose, not garbage from a stale slot
+        assert np.isfinite(np.asarray(old[0])).all()
