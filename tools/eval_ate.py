@@ -61,6 +61,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", default=None,
                     help="image directory instead of the committed sequence")
+    ap.add_argument("--seq", default=None,
+                    help=".npz sequence path (default: the committed "
+                         "data/eval_seq.npz; data/eval_seq2.npz is the "
+                         "held-out variant)")
     ap.add_argument("--metrics", action="store_true",
                     help="emit one structured JSON metrics line per frame "
                          "(utils/metrics.py) during the SLAM run")
@@ -84,7 +88,7 @@ def main():
         fx = fy = 0.9 * w
         cx, cy = w / 2.0, h / 2.0
     else:
-        path = os.path.join(os.path.dirname(os.path.dirname(
+        path = args.seq or os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "data", "eval_seq.npz")
         d = np.load(path)
         frames, Rs, ts = d["frames"], d["Rs"], d["ts"]
@@ -122,6 +126,15 @@ def main():
     kf_frames = slam.keyframe_frames
     kf_pre = slam.keyframe_positions()
     loop = slam.try_close_loop(min_matches=40, exclude_recent=3)
+    kf_post_graph = slam.keyframe_positions()
+    # the full production closure pipeline (service.py): pose graph, then
+    # global BA re-converges the landmarks against the moved keyframes,
+    # then reprojection culling. On the held-out eval_seq2 the pose graph
+    # alone over-corrects (0.154 -> 0.196) and global BA recovers it
+    # (0.155); on eval_seq both land at 0.045.
+    if loop >= 0:
+        slam.global_ba()
+        slam.cull_landmarks()
     kf_post = slam.keyframe_positions()
 
     report = {"metric": "trajectory_ate",
@@ -134,6 +147,8 @@ def main():
             "vo_ate_rmse": round(float(ate_rmse(est_vo, gt)), 4),
             "slam_ate_rmse": round(float(ate_rmse(est_slam, gt)), 4),
             "kf_ate_pre_closure": round(float(ate_rmse(kf_pre, gt_kf)), 4),
+            "kf_ate_post_graph": round(float(
+                ate_rmse(kf_post_graph, gt_kf)), 4),
             "kf_ate_post_closure": round(float(ate_rmse(kf_post, gt_kf)), 4),
             "path_length_m": round(float(
                 np.linalg.norm(np.diff(gt, axis=0), axis=1).sum()), 2),

@@ -17,6 +17,7 @@ README.md:22); this stands in for the TUM/KITTI-style evaluation its
 downstream (a full SLAM) would need, per BASELINE.json configs[3].
 """
 
+import argparse
 import os
 import sys
 
@@ -41,11 +42,35 @@ def trajectory(n=N):
     return rolls, sxs, dzs
 
 
+def trajectory_b(n=56):
+    """Held-out variant: a two-lobe lateral sweep (+1.2 m then -1.2 m),
+    stronger roll (+-25 degrees, three half-periods) and a deeper dolly
+    (0.9 m) over a DIFFERENT scene (seed 5). Used to check that parameters
+    tuned on eval_seq (e.g. map.gate_radius) generalise; still ends at the
+    starting view so loop closure applies."""
+    i = np.arange(n)
+    ph = i / (n - 1)
+    sxs = 1.2 * np.sin(2 * np.pi * ph)
+    rolls = np.deg2rad(25.0) * np.sin(3 * np.pi * ph)
+    dzs = 0.9 * np.sin(np.pi * ph)
+    return rolls, sxs, dzs
+
+
+VARIANTS = {
+    "a": ("eval_seq.npz", 21, trajectory),
+    "b": ("eval_seq2.npz", 5, trajectory_b),
+}
+
+
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variant", choices=sorted(VARIANTS), default="a")
+    args = ap.parse_args()
+    name, seed, traj = VARIANTS[args.variant]
     out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "data", "eval_seq.npz")
-    scene = PlaneScene(width=W, height=H, fx=FX, fy=FY, seed=21)
-    rolls, sxs, dzs = trajectory()
+        os.path.abspath(__file__))), "data", name)
+    scene = PlaneScene(width=W, height=H, fx=FX, fy=FY, seed=seed)
+    rolls, sxs, dzs = traj()
     frames, Rs, ts = scene.render_trajectory(rolls, sxs, dzs)
     os.makedirs(os.path.dirname(out), exist_ok=True)
     np.savez_compressed(out, frames=frames, Rs=Rs, ts=ts,
