@@ -189,7 +189,7 @@ class KeyframeSLAM:
     def __init__(self, cfg: PislamConfig, fx, fy, cx, cy, features_fn=None,
                  keyframe_min_inliers: int = 60, keyframe_max_gap: int = 10,
                  seed: int = 7, metrics=None, reloc_min_matches: int = 30,
-                 mesh=None, dist=None):
+                 mesh=None, dist=None, mapping: bool = True):
         from ..utils.metrics import NullMetrics
 
         self.cfg = cfg
@@ -202,6 +202,11 @@ class KeyframeSLAM:
         self.keyframe_min_inliers = keyframe_min_inliers
         self.keyframe_max_gap = keyframe_max_gap
         self.reloc_min_matches = reloc_min_matches
+        # localization-only mode (ORB-SLAM's "localization mode"): track
+        # and relocalise against a FROZEN map -- no keyframe insertion, no
+        # triangulation, no BA. Restore a checkpointed map first; the
+        # bootstrap insert is still allowed if the map is empty.
+        self.mapping = mapping
         self.capacity = cfg.map.keyframe_capacity
         assert self.capacity >= cfg.ba.window, \
             "keyframe ring must hold at least one BA window"
@@ -406,7 +411,7 @@ class KeyframeSLAM:
         self._since_kf += 1
         self.trajectory.append(-R.T @ t)
 
-        make_kf = (not lost
+        make_kf = (self.mapping and not lost
                    and (n_inl < self.keyframe_min_inliers
                         or self._since_kf >= self.keyframe_max_gap))
         if make_kf:
@@ -417,20 +422,25 @@ class KeyframeSLAM:
             m.count("keyframes_inserted")
             self._since_kf = 0
         elif relocalised:
-            # promote the relocalised view to a recovery keyframe: both the
-            # host loop and the device scan then resume tracking against it
-            # (no triangulation -- there are no inlier matches to the
-            # previous keyframe after a kidnap)
-            K = pts.shape[0]
-            with m.timer("insert_ba"):
-                self._insert_keyframe(
-                    feats, pts, np.asarray(R, np.float32),
-                    np.asarray(t, np.float32),
-                    jnp.full(K, -1, jnp.int32), jnp.zeros(K, bool),
-                    rec[2] % self.capacity)
-            m.count("keyframes_inserted")
-            self._since_kf = 0
-            make_kf = True
+            if self.mapping:
+                # promote the relocalised view to a recovery keyframe: both
+                # the host loop and the device scan then resume tracking
+                # against it (no triangulation -- there are no inlier
+                # matches to the previous keyframe after a kidnap)
+                K = pts.shape[0]
+                with m.timer("insert_ba"):
+                    self._insert_keyframe(
+                        feats, pts, np.asarray(R, np.float32),
+                        np.asarray(t, np.float32),
+                        jnp.full(K, -1, jnp.int32), jnp.zeros(K, bool),
+                        rec[2] % self.capacity)
+                m.count("keyframes_inserted")
+                self._since_kf = 0
+                make_kf = True
+            else:
+                # localization-only: the map is frozen -- re-target
+                # tracking at the matched stored keyframe instead
+                self._cache_last(rec[2] % self.capacity)
         self._frame_idx += 1  # AFTER insert: counters[3] is the frame id
         self._prev_pose = (np.asarray(R, np.float32),
                            np.asarray(t, np.float32))
@@ -460,6 +470,11 @@ class KeyframeSLAM:
         if not self._has_image_frontend:
             raise ValueError("process_chunk requires the image frontend "
                              "(features_fn is host code)")
+        if not self.mapping:
+            raise ValueError(
+                "localization-only mode runs the per-frame loop: the scan "
+                "tracks against the NEWEST stored keyframe and cannot "
+                "re-target after relocalisation without inserting")
         if self._chunk_scan is None:
             from .slam_scan import make_slam_track_scan
             self._chunk_scan = make_slam_track_scan(

@@ -131,6 +131,11 @@ def main(argv=None):
     ap.add_argument("--map-out",
                     help="write the final landmark map + keyframe path as "
                          "an ASCII PLY point cloud here")
+    ap.add_argument("--localization-only", action="store_true",
+                    help="track/relocalise against a FROZEN map (restore "
+                         "one with --checkpoint-dir): no keyframe "
+                         "insertion, no BA, no loop closure -- the "
+                         "pre-built-map deployment mode")
     ap.add_argument("--model-parallel", type=int, default=1,
                     help="shard the landmark map + keyframe store over N "
                          "devices (KeyframeSLAM(mesh=...)): map tracking "
@@ -180,10 +185,13 @@ def main(argv=None):
         from .parallel.mesh import make_mesh
         mesh = make_mesh(MeshConfig(model_parallel=args.model_parallel),
                          devices=jax.devices()[: args.model_parallel])
+    if args.localization_only and args.chunk > 1:
+        ap.error("--localization-only runs the per-frame loop (chunk 1)")
     slam = KeyframeSLAM(cfg, fx, fy, cx, cy,
                         keyframe_min_inliers=args.keyframe_min_inliers,
                         keyframe_max_gap=args.keyframe_max_gap,
-                        metrics=metrics, dist=distortion, mesh=mesh)
+                        metrics=metrics, dist=distortion, mesh=mesh,
+                        mapping=not args.localization_only)
 
     poses = []  # (R, t) world->cam per processed frame
     loops_closed = [0]
@@ -239,7 +247,8 @@ def main(argv=None):
     skipped = n_frames - len(poses)  # frames covered by a restored checkpoint
 
     loop = -1
-    if not args.no_loop_close and slam.num_keyframes >= 5:
+    if (not args.no_loop_close and not args.localization_only
+            and slam.num_keyframes >= 5):
         loop = slam.try_close_loop()
         if loop >= 0:
             # pose graph moved the keyframes; re-converge the landmarks,

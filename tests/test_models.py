@@ -357,6 +357,27 @@ def test_checkpointed_runner_drives_slam(tmp_path):
     assert ate_rmse(est, gt, with_scale=True) < 0.15
 
 
+def restricted_features(xyz, desc, Rs, ts, pose_i, lo, hi):
+    """Projector frame with landmark visibility restricted to [lo, hi)."""
+    xc = xyz @ Rs[pose_i].T + ts[pose_i]
+    z = xc[:, 2]
+    u = FX * xc[:, 0] / np.maximum(z, 1e-6) + CX
+    v = FY * xc[:, 1] / np.maximum(z, 1e-6) + CY
+    vis = (z > 0.5) & (u >= 16) & (u < 624) & (v >= 16) & (v < 464)
+    vis &= (np.arange(len(xyz)) >= lo) & (np.arange(len(xyz)) < hi)
+    order = np.argsort(~vis)
+    sel = order[:K_SLOTS]
+    ui = np.round(u[sel]).astype(np.int64)
+    vi = np.round(v[sel]).astype(np.int64)
+    valid = vis[sel]
+    codes = np.where(valid, ((200 << 24) | (ui << 12) | vi), 0)
+    return Features(
+        codes=jnp.asarray(codes.astype(np.uint32)),
+        valid=jnp.asarray(valid),
+        angles=jnp.zeros(K_SLOTS, jnp.uint8),
+        descriptors=jnp.asarray(np.where(valid[:, None], desc[sel], 0)))
+
+
 def test_lost_tracking_recovery():
     """Kidnapped robot inside the tracking LOOP (not just the relocalise
     API): a sensor blackout must flag LOST and hold the last accepted pose
@@ -373,23 +394,7 @@ def test_lost_tracking_recovery():
     # [0, 180) -- zero overlap with the last keyframe, large overlap with
     # the early ones.
     def restricted(pose_i, lo, hi):
-        xc = xyz @ Rs[pose_i].T + ts[pose_i]
-        z = xc[:, 2]
-        u = FX * xc[:, 0] / np.maximum(z, 1e-6) + CX
-        v = FY * xc[:, 1] / np.maximum(z, 1e-6) + CY
-        vis = (z > 0.5) & (u >= 16) & (u < 624) & (v >= 16) & (v < 464)
-        vis &= (np.arange(len(xyz)) >= lo) & (np.arange(len(xyz)) < hi)
-        order = np.argsort(~vis)
-        sel = order[:K_SLOTS]
-        ui = np.round(u[sel]).astype(np.int64)
-        vi = np.round(v[sel]).astype(np.int64)
-        valid = vis[sel]
-        codes = np.where(valid, ((200 << 24) | (ui << 12) | vi), 0)
-        return Features(
-            codes=jnp.asarray(codes.astype(np.uint32)),
-            valid=jnp.asarray(valid),
-            angles=jnp.zeros(K_SLOTS, jnp.uint8),
-            descriptors=jnp.asarray(np.where(valid[:, None], desc[sel], 0)))
+        return restricted_features(xyz, desc, Rs, ts, pose_i, lo, hi)
 
     rng = np.random.default_rng(11)
     noise_desc = rng.integers(0, 2**31, (K_SLOTS, 8),
@@ -543,3 +548,80 @@ def test_ring_eviction_full_loop():
         # the world is globally visible; if it matches, rotation must be
         # consistent with SOME real pose, not garbage from a stale slot
         assert np.isfinite(np.asarray(old[0])).all()
+
+
+def test_localization_only_mode(tmp_path):
+    """ORB-SLAM "localization mode": restore a checkpointed map, track and
+    relocalise against it FROZEN -- no keyframe insertion, no landmark
+    growth, even through a blackout + kidnap."""
+    xyz, desc = make_world(seed=51)
+    Rs, ts = make_trajectory(16)
+    cfg = tiny_cfg()
+
+    def build_fn(frame_idx):
+        i = int(frame_idx)
+        return restricted_features(xyz, desc, Rs, ts, i,
+                                   *((0, 220) if i < 8 else (180, 400)))
+
+    builder = KeyframeSLAM(cfg, FX, FY, CX, CY, features_fn=build_fn,
+                           keyframe_min_inliers=220, keyframe_max_gap=3)
+    for i in range(16):
+        builder.process(i)
+    assert builder.num_keyframes >= 5 and builder.num_landmarks > 0
+    path = str(tmp_path / "map_ck")
+    builder.save_checkpoint(path)
+
+    rng = np.random.default_rng(13)
+    noise_desc = rng.integers(0, 2**31, (K_SLOTS, 8),
+                              dtype=np.int64).astype(np.uint32)
+    codes = ((200 << 24) | ((np.arange(K_SLOTS) % 600 + 20) << 12)
+             | (np.arange(K_SLOTS) % 400 + 20)).astype(np.uint32)
+    blackout = Features(
+        codes=jnp.asarray(codes), valid=jnp.ones(K_SLOTS, bool),
+        angles=jnp.zeros(K_SLOTS, jnp.uint8),
+        descriptors=jnp.asarray(noise_desc))
+
+    def features_fn(frame_idx):
+        # late poses see [180, 400); the kidnap view sees [0, 180) only --
+        # no overlap with the last keyframe, resolvable against early ones
+        i = int(frame_idx)
+        if i < 100:
+            return restricted_features(xyz, desc, Rs, ts, i,
+                                       *((0, 220) if i < 8 else (180, 400)))
+        if i < 102:
+            return blackout
+        return restricted_features(xyz, desc, Rs, ts, i - 100, 0, 180)
+
+    loc = KeyframeSLAM(cfg, FX, FY, CX, CY, features_fn=features_fn,
+                       keyframe_min_inliers=220, keyframe_max_gap=3,
+                       mapping=False)
+    loc.restore_checkpoint(path)
+    kf0, lm0 = loc.num_keyframes, loc.num_landmarks
+
+    # normal tracking against the frozen map
+    for i in (13, 14, 15):
+        out = loc.process(i)
+        assert not out["lost"], i
+        assert not out["keyframe"]
+    # blackout: lost, held
+    for i in (100, 101):
+        out = loc.process(i)
+        assert out["lost"] and not out["relocalised"]
+    # kidnap to pose 2's view: relocalises by RE-TARGETING, no insertion
+    out = loc.process(102)
+    assert out["lost"] and out["relocalised"]
+    assert not out["keyframe"]
+    assert np.linalg.norm(np.asarray(out["pose_R"]) - Rs[2]) < 0.1
+    # tracking resumes against the re-targeted stored keyframe
+    out = loc.process(103)
+    assert not out["lost"]
+    assert out["num_inliers"] >= 12
+
+    # THE map is frozen: nothing was inserted at any point
+    assert loc.num_keyframes == kf0
+    assert loc.num_landmarks == lm0
+
+    # chunk mode is mapping-only
+    import pytest
+    with pytest.raises(ValueError):
+        loc.process_chunk(np.zeros((1, 16, 16), np.uint8))
