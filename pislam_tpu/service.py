@@ -132,10 +132,16 @@ def main(argv=None):
                     help="write the final landmark map + keyframe path as "
                          "an ASCII PLY point cloud here")
     ap.add_argument("--localization-only", action="store_true",
-                    help="track/relocalise against a FROZEN map (restore "
-                         "one with --checkpoint-dir): no keyframe "
-                         "insertion, no BA, no loop closure -- the "
-                         "pre-built-map deployment mode")
+                    help="track/relocalise against a FROZEN map (load one "
+                         "with --map-in): no keyframe insertion, no BA, "
+                         "no loop closure -- the pre-built-map deployment "
+                         "mode")
+    ap.add_argument("--map-in",
+                    help="load a SLAM map checkpoint (save_checkpoint / "
+                         "a --checkpoint-dir step dir) as the starting "
+                         "map; unlike --checkpoint-dir this does NOT "
+                         "resume frame progress -- the whole input stream "
+                         "is processed against the loaded map")
     ap.add_argument("--model-parallel", type=int, default=1,
                     help="shard the landmark map + keyframe store over N "
                          "devices (KeyframeSLAM(mesh=...)): map tracking "
@@ -187,11 +193,31 @@ def main(argv=None):
                          devices=jax.devices()[: args.model_parallel])
     if args.localization_only and args.chunk > 1:
         ap.error("--localization-only runs the per-frame loop (chunk 1)")
+    if args.map_in and args.checkpoint_dir:
+        ap.error("--map-in and --checkpoint-dir are mutually exclusive "
+                 "(one loads a map, the other resumes frame progress)")
     slam = KeyframeSLAM(cfg, fx, fy, cx, cy,
                         keyframe_min_inliers=args.keyframe_min_inliers,
                         keyframe_max_gap=args.keyframe_max_gap,
                         metrics=metrics, dist=distortion, mesh=mesh,
                         mapping=not args.localization_only)
+
+    if args.map_in:
+        # accept both formats: a raw save_checkpoint dir, or a
+        # --checkpoint-dir run (CheckpointedRunner payload, whose map
+        # lives under <dir>/state as {"state": ..., "steps_done": ...})
+        from .models.slam import init_state
+        from .utils import checkpoint as ckpt
+        path = args.map_in
+        runner_state = os.path.join(path, "state")
+        if os.path.isdir(runner_state):
+            payload = ckpt.restore(
+                runner_state,
+                like={"state": init_state(cfg),
+                      "steps_done": jnp.zeros((), jnp.int32)})
+            slam.set_state(payload["state"])
+        else:
+            slam.restore_checkpoint(path)
 
     poses = []  # (R, t) world->cam per processed frame
     loops_closed = [0]

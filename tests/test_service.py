@@ -149,3 +149,24 @@ def test_service_sharded_map_mode(capsys):
     assert sharded["keyframes"] == single["keyframes"]
     assert sharded["landmarks"] == single["landmarks"]
     assert abs(sharded["ate_rmse"] - single["ate_rmse"]) < 2e-3
+
+
+def test_service_localization_only_with_map_in(tmp_path, capsys):
+    """Build a map with a normal run (--checkpoint-dir), then run
+    --localization-only --map-in against it: the whole stream is processed
+    (no frame-progress resume) and the map stays frozen."""
+    ckpt = str(tmp_path / "ckpt")
+    service.main(["--seq", DATA, "--max-frames", "10",
+                  "--checkpoint-dir", ckpt, "--checkpoint-every", "5"])
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["keyframes"] >= 3
+
+    service.main(["--seq", DATA, "--max-frames", "10",
+                  "--localization-only", "--map-in", ckpt])
+    loc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # every frame processed against the loaded map, nothing inserted
+    assert loc["resumed_at"] == 0
+    assert loc["keyframes"] == built["keyframes"]
+    assert loc["landmarks"] == built["landmarks"]
+    assert loc["loop_closed_to_kf"] == -1  # frozen map: no loop closure
+    assert "ate_rmse" in loc and loc["ate_rmse"] < 0.5
