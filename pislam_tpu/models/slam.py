@@ -361,6 +361,15 @@ class KeyframeSLAM:
                 last["desc"], last["valid"], last["pts"], feats, pts)
             n_inl = int(out["num_inliers"])
         lost = n_inl < self.cfg.vo.min_inliers
+        if not lost:
+            # failure detection: a numerically degenerate solve (colinear
+            # correspondences, zero-parallax SVD breakdown) can emit a
+            # non-finite pose with high "inlier" counts -- treat it as
+            # lost rather than corrupting the trajectory/map with NaNs
+            if not (np.isfinite(np.asarray(out["R"])).all()
+                    and np.isfinite(np.asarray(out["t"])).all()):
+                m.count("nonfinite_poses")
+                lost = True
         relocalised = False
         n_map = 0
         map_idx = jnp.full(pts.shape[0], -1, jnp.int32)
@@ -404,8 +413,11 @@ class KeyframeSLAM:
                         self._st.lmap, feats, pts,
                         jnp.asarray(R), jnp.asarray(t))
                     n_map = int(n_map_d)
-                if n_map >= self.cfg.map.min_map_inliers:
-                    R, t = np.asarray(Rm), np.asarray(tm)
+                Rm, tm = np.asarray(Rm), np.asarray(tm)
+                if (n_map >= self.cfg.map.min_map_inliers
+                        and np.isfinite(Rm).all()
+                        and np.isfinite(tm).all()):
+                    R, t = Rm, tm
                     map_idx = assoc
 
         self._since_kf += 1

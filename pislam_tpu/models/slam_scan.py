@@ -104,6 +104,10 @@ def make_slam_track_scan(cfg: PislamConfig, fx: float, fy: float,
             # KeyframeSLAM.process; relocalisation is host orchestration,
             # handled at chunk boundaries by process_chunk)
             lost = n_inl < vc.min_inliers
+            # failure detection (matches the host loop): a degenerate
+            # solve emitting a non-finite pose is LOST, not trajectory
+            lost |= ~(jnp.all(jnp.isfinite(out["R"]))
+                      & jnp.all(jnp.isfinite(out["t"])))
             trel = out["t"] / jnp.maximum(jnp.linalg.norm(out["t"]), 1e-9)
             R = out["R"] @ store.R[slot]
             t = (out["R"] @ store.t[slot][:, None])[:, 0] + trel
@@ -122,7 +126,9 @@ def make_slam_track_scan(cfg: PislamConfig, fx: float, fy: float,
                 Rm, tm, n_map, assoc = jax.lax.cond(
                     (st.counters[1] > 0) & ~lost, with_map, without_map,
                     None)
-                use = (n_map >= cfg.map.min_map_inliers) & ~lost
+                use = ((n_map >= cfg.map.min_map_inliers) & ~lost
+                       & jnp.all(jnp.isfinite(Rm))
+                       & jnp.all(jnp.isfinite(tm)))
                 R = jnp.where(use, Rm, R)
                 t = jnp.where(use, tm, t)
                 map_idx = jnp.where(use, assoc, -1)

@@ -625,3 +625,48 @@ def test_localization_only_mode(tmp_path):
     import pytest
     with pytest.raises(ValueError):
         loc.process_chunk(np.zeros((1, 16, 16), np.uint8))
+
+
+def test_nonfinite_pose_detected_as_lost():
+    """A numerically degenerate solve emitting NaN with high inlier counts
+    must be treated as LOST (held pose / relocalisation), never written
+    into the trajectory or the map."""
+    xyz, desc = make_world(seed=61)
+    Rs, ts = make_trajectory(8)
+    cfg = tiny_cfg()
+    slam = KeyframeSLAM(cfg, FX, FY, CX, CY,
+                        features_fn=projector(xyz, desc, Rs, ts),
+                        keyframe_min_inliers=220, keyframe_max_gap=3)
+    for i in range(6):
+        slam.process(i)
+    kf_before = slam.num_keyframes
+    pos_before = np.asarray(slam.trajectory[-1]).copy()
+
+    # sabotage one solve: NaN pose with a confident inlier count
+    orig = slam._localise_against
+    calls = {"n": 0}
+
+    def nan_once(*a, **k):
+        out, idx2 = orig(*a, **k)
+        if calls["n"] == 0:
+            calls["n"] += 1
+            out = dict(out)
+            out["R"] = jnp.full((3, 3), jnp.nan)
+            out["t"] = jnp.full(3, jnp.nan)
+        return out, idx2
+
+    slam._localise_against = nan_once
+    out = slam.process(6)
+    slam._localise_against = orig
+
+    assert out["lost"], out
+    assert np.isfinite(np.asarray(out["pose_R"])).all()
+    assert np.isfinite(np.asarray(out["pose_t"])).all()
+    assert np.isfinite(np.asarray(slam.trajectory[-1])).all()
+
+    # NOTE: the sabotaged call is also what relocalisation uses, so the
+    # frame may or may not relocalise; either way the NEXT frame tracks
+    out = slam.process(7)
+    assert np.isfinite(np.asarray(out["pose_R"])).all()
+    assert slam.num_keyframes >= kf_before
+    del pos_before
