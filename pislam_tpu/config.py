@@ -181,6 +181,14 @@ class MapConfig:
     # aliasing -- without the gate, a far-away landmark with a similar
     # descriptor makes the Lowe ratio test kill the correct match.
     gate_radius: float = 0.0
+    # refresh a landmark's anchor descriptor to the newest observation at
+    # keyframe insertion (cheap stand-in for ORB-SLAM's most-representative
+    # selection). Measured on the committed sequences (post-closure
+    # keyframe ATE): eval_seq 0.045 -> 0.058, eval_seq2 0.155 -> 0.193 --
+    # association churn outweighs the viewpoint adaptation at these
+    # trajectory lengths, so the default stays OFF; revisit for long
+    # sessions with large viewpoint drift.
+    refresh_descriptors: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -92,7 +92,8 @@ def init_state(cfg: PislamConfig, seed: int = 7) -> SlamState:
 
 
 def insert_keyframe_state(cap: int, st: SlamState, feats: Features, pts,
-                          R, t, idx2, inliers, prev_slot, map_idx):
+                          R, t, idx2, inliers, prev_slot, map_idx,
+                          refresh_desc: bool = False):
     """Pure keyframe insertion: SlamState -> SlamState (jit/scan-safe).
 
     Writes the keyframe ring slot, triangulates inlier matches against the
@@ -137,6 +138,12 @@ def insert_keyframe_state(cap: int, st: SlamState, feats: Features, pts,
         X, desc_anchor, new, prev_slot, slot, p1, p2)
     lmap, obs, obs_cur = kfs.add_observations(
         lmap, obs, obs_cur, slot, jnp.clip(matched_lm, 0), p2, exist)
+    if refresh_desc:
+        # refresh re-observed landmarks' anchor descriptors to the newest
+        # view (map.refresh_descriptors); out-of-range rows are dropped
+        rows = jnp.where(exist, matched_lm, lmap.descriptors.shape[0])
+        lmap = lmap._replace(descriptors=lmap.descriptors.at[rows].set(
+            desc_anchor, mode="drop"))
     counters = jnp.stack([
         num_kf + 1, lm_cur, obs_cur, st.counters[3], st.counters[4],
     ]).astype(jnp.int32)
@@ -297,7 +304,8 @@ class KeyframeSLAM:
     # -- jitted pieces ------------------------------------------------------
 
     def _build_insert(self):
-        return jax.jit(partial(insert_keyframe_state, self.capacity))
+        return jax.jit(partial(insert_keyframe_state, self.capacity,
+                               refresh_desc=self.cfg.map.refresh_descriptors))
 
     def _build_track_map(self):
         cfg = self.cfg

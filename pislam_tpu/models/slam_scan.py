@@ -79,7 +79,8 @@ def make_slam_track_scan(cfg: PislamConfig, fx: float, fy: float,
             stn = insert_keyframe_state(
                 cap, st, feats, pts, R0, t0,
                 jnp.full(K, -1, jnp.int32), jnp.zeros(K, bool),
-                jnp.int32(0), jnp.full(K, -1, jnp.int32))
+                jnp.int32(0), jnp.full(K, -1, jnp.int32),
+                refresh_desc=cfg.map.refresh_descriptors)
             return stn, (R0, t0, jnp.bool_(True), jnp.int32(0), jnp.int32(0))
 
         def track(op):
@@ -144,7 +145,8 @@ def make_slam_track_scan(cfg: PislamConfig, fx: float, fy: float,
             def insert(st):
                 stn = insert_keyframe_state(
                     cap, st, feats, pts, R, t, idx2, out["inliers"],
-                    slot, map_idx)
+                    slot, map_idx,
+                    refresh_desc=cfg.map.refresh_descriptors)
                 return stn._replace(counters=stn.counters.at[4].set(0))
 
             st = jax.lax.cond(make_kf, insert, lambda s: s, st)

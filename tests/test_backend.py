@@ -263,3 +263,65 @@ def test_loop_edge_conjugation_zero_residual():
                  t_edge.astype(np.float32)) < 1e-5
     # unconjugated (the round-1 bug): residual stays O(1)
     assert resid(R_rel.astype(np.float32), t_rel.astype(np.float32)) > 0.3
+
+
+def test_refresh_descriptors_updates_anchor():
+    """map.refresh_descriptors=True: a re-observed landmark's anchor
+    descriptor becomes the newest observation's descriptor at keyframe
+    insertion (default OFF -- measured worse on the committed sequences,
+    see config.py)."""
+    import jax.numpy as jnp
+
+    from pislam_tpu.config import PislamConfig, FrontendConfig
+    from pislam_tpu.frontend import Features
+    from pislam_tpu.models.slam import init_state, insert_keyframe_state
+
+    K = 32
+    cfg = PislamConfig(frontend=FrontendConfig(max_keypoints=K))
+    rng = np.random.default_rng(3)
+
+    def feats_of(desc):
+        codes = ((200 << 24) | (np.arange(K, dtype=np.uint64) + 100 << 12)
+                 | 200).astype(np.uint32)
+        return Features(codes=jnp.asarray(codes), valid=jnp.ones(K, bool),
+                        angles=jnp.zeros(K, jnp.uint8),
+                        descriptors=jnp.asarray(desc))
+
+    d0 = rng.integers(0, 2**31, (K, 8), dtype=np.int64).astype(np.uint32)
+    d1 = rng.integers(0, 2**31, (K, 8), dtype=np.int64).astype(np.uint32)
+    pts = rng.uniform(-0.5, 0.5, (K, 2)).astype(np.float32)
+    eye = jnp.eye(3, dtype=jnp.float32)
+
+    for refresh in (False, True):
+        st = init_state(cfg)
+        # bootstrap keyframe with d0
+        st = insert_keyframe_state(
+            cfg.map.keyframe_capacity, st, feats_of(d0), jnp.asarray(pts),
+            eye, jnp.zeros(3), jnp.full(K, -1, jnp.int32),
+            jnp.zeros(K, bool), 0, jnp.full(K, -1, jnp.int32),
+            refresh_desc=refresh)
+        # second keyframe: every feature matches the previous one 1:1 and
+        # triangulates -> landmarks anchored with d1 (new landmarks use the
+        # CURRENT frame's descriptors either way)
+        t2 = jnp.asarray(np.float32([0.2, 0, 0]))
+        st = insert_keyframe_state(
+            cfg.map.keyframe_capacity, st, feats_of(d1),
+            jnp.asarray(pts + np.float32([0.05, 0])), eye, t2,
+            jnp.arange(K, dtype=jnp.int32), jnp.ones(K, bool), 0,
+            jnp.full(K, -1, jnp.int32), refresh_desc=refresh)
+        n_lm = int(st.counters[1])
+        assert n_lm > 0
+        # third keyframe: same features ASSOCIATED to those landmarks via
+        # map_idx -> with refresh the anchors become d2, without they stay
+        d2 = rng.integers(0, 2**31, (K, 8), dtype=np.int64).astype(np.uint32)
+        assoc = jnp.arange(K, dtype=jnp.int32)  # feature i -> landmark i
+        assoc = jnp.where(jnp.arange(K) < n_lm, assoc, -1)
+        st = insert_keyframe_state(
+            cfg.map.keyframe_capacity, st, feats_of(d2),
+            jnp.asarray(pts + np.float32([0.1, 0])), eye,
+            jnp.asarray(np.float32([0.4, 0, 0])),
+            jnp.arange(K, dtype=jnp.int32), jnp.ones(K, bool), 1, assoc,
+            refresh_desc=refresh)
+        got = np.asarray(st.lmap.descriptors[:min(K, n_lm)])
+        want = (d2 if refresh else d1)[:min(K, n_lm)]
+        assert np.array_equal(got, want), refresh
