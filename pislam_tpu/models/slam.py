@@ -807,6 +807,151 @@ class KeyframeSLAM:
         rec = self._relocalise_feats(feats, pts, min_matches=min_matches)
         return None if rec is None else (rec[0], rec[1])
 
+    def merge_map(self, other: SlamState, min_anchors: int = 3,
+                  min_matches: int = 30):
+        """Fuse another session's map into this one (multi-agent /
+        multi-session rendezvous, the ORB-SLAM3 atlas-merge idea).
+
+        Every keyframe of ``other`` is relocalised against THIS map (one
+        store-wide MXU match each; map PnP pins metric scale); a SIM(3)
+        (Umeyama) between the relocalised camera centres and the other
+        session's own centres maps its frame into this one -- monocular
+        maps have independent scales, hence SIM(3), not SE(3). The other
+        session's keyframes (poses transformed), landmarks (positions
+        transformed) and observation rows (slot-remapped) are then
+        appended, subject to free capacity (newest first when short).
+
+        Returns the number of keyframes merged, or -1 if fewer than
+        ``min_anchors`` of the other session's keyframes relocalise.
+        """
+        m = self.metrics
+        o_store, o_lmap, o_obs = other.store, other.lmap, other.obs
+        o_valid = np.asarray(o_store.valid)
+        o_ord = np.asarray(o_store.ordinal)
+        slots_b = [int(s) for s in np.argsort(o_ord) if o_valid[s]]
+        if not slots_b:
+            return -1
+
+        # 1. relocalise the other session's keyframes against THIS map
+        anchors = []  # (slot_b, R_a, t_a)
+        with m.timer("merge_relocalise"):
+            for s in slots_b:
+                feats_like = Features(
+                    codes=o_store.codes[s], valid=o_store.kp_valid[s],
+                    angles=jnp.zeros(o_store.codes.shape[1], jnp.uint8),
+                    descriptors=o_store.descriptors[s])
+                rec = self._relocalise_feats(
+                    feats_like, o_store.pts[s], min_matches=min_matches)
+                if rec is not None:
+                    anchors.append((s, rec[0], rec[1]))
+        if len(anchors) < min_anchors:
+            return -1
+
+        # 2. SIM(3) from the other session's frame to this one. The
+        # rotation comes from the anchor ROTATION pairs (chordal mean of
+        # R_a^T R_b), NOT from a centre-cloud Umeyama: camera centres of a
+        # straight/planar trajectory are (near-)degenerate and leave the
+        # rotation free about the path axis. Scale and translation then
+        # come from the centres with the rotation fixed.
+        Rb = np.asarray(o_store.R)
+        tb = np.asarray(o_store.t)
+        cb = np.stack([-Rb[s].T @ tb[s] for s, _R, _t in anchors])
+        ca = np.stack([-Ra.T @ ta for _s, Ra, ta in anchors])
+        # each anchor gives RU^T ~ R_b^T R_a (R_a = R_b RU^T), so
+        # RU = proj_SO3(sum R_a^T R_b)
+        M = np.sum([Ra.T @ Rb[s] for s, Ra, _t in anchors], axis=0)
+        U, _sv, Vt = np.linalg.svd(M)
+        fix = np.diag([1.0, 1.0, np.sign(np.linalg.det(U @ Vt))])
+        RU = U @ fix @ Vt  # X_a = s RU X_b + p
+        e = cb - cb.mean(0)
+        g = ca - ca.mean(0)
+        denom = float((e * e).sum())
+        s_ = (float((g * (e @ RU.T)).sum()) / denom if denom > 1e-12
+              else 1.0)
+        p = ca.mean(0) - s_ * RU @ cb.mean(0)
+        if not (np.isfinite(s_) and s_ > 1e-6 and np.isfinite(RU).all()
+                and np.isfinite(p).all()):
+            return -1
+
+        # 3. transform ALL of the other session's keyframes + landmarks
+        #    x_a = s RU x_b + p; camera axes rotate by RU (scale-free)
+        st = self.state
+        cap = self.capacity
+        n_free = cap - self.num_keyframes
+        if n_free <= 0:
+            return -1
+        keep = slots_b[-n_free:] if len(slots_b) > n_free else slots_b
+        Rn = {s: (Rb[s] @ RU.T).astype(np.float32) for s in keep}
+        cn = {s: (s_ * (RU @ (-Rb[s].T @ tb[s])) + p) for s in keep}
+
+        store, lmap, obs = st.store, st.lmap, st.obs
+        base_ord = self._num_kf
+        slot_map = {}
+        for i, s in enumerate(keep):
+            ns = (base_ord + i) % cap
+            slot_map[s] = ns
+            tn = (-Rn[s] @ cn[s]).astype(np.float32)
+            store = store._replace(
+                R=store.R.at[ns].set(jnp.asarray(Rn[s])),
+                t=store.t.at[ns].set(jnp.asarray(tn)),
+                codes=store.codes.at[ns].set(o_store.codes[s]),
+                kp_valid=store.kp_valid.at[ns].set(o_store.kp_valid[s]),
+                descriptors=store.descriptors.at[ns].set(
+                    o_store.descriptors[s]),
+                pts=store.pts.at[ns].set(o_store.pts[s]),
+                frame_id=store.frame_id.at[ns].set(o_store.frame_id[s]),
+                ordinal=store.ordinal.at[ns].set(base_ord + i),
+                valid=store.valid.at[ns].set(True))
+
+        # landmarks: transformed positions, appended to free rows
+        o_lm_valid = np.asarray(o_lmap.valid)
+        lm_rows = np.nonzero(o_lm_valid)[0]
+        lm_free = lmap.capacity - self._num_lm
+        lm_rows = lm_rows[:lm_free]
+        lm_map = {}
+        if len(lm_rows):
+            xyz_b = np.asarray(o_lmap.xyz)[lm_rows]
+            xyz_a = (s_ * (xyz_b @ RU.T) + p).astype(np.float32)
+            dst = np.arange(self._num_lm, self._num_lm + len(lm_rows))
+            lm_map = {int(src): int(d) for src, d in zip(lm_rows, dst)}
+            lmap = lmap._replace(
+                xyz=lmap.xyz.at[jnp.asarray(dst)].set(jnp.asarray(xyz_a)),
+                descriptors=lmap.descriptors.at[jnp.asarray(dst)].set(
+                    o_lmap.descriptors[jnp.asarray(lm_rows)]),
+                obs_count=lmap.obs_count.at[jnp.asarray(dst)].set(
+                    o_lmap.obs_count[jnp.asarray(lm_rows)]),
+                valid=lmap.valid.at[jnp.asarray(dst)].set(True))
+
+        # observation rows: remap keyframe/landmark slots, append
+        o_obs_valid = np.asarray(o_obs.valid)
+        o_obs_kf = np.asarray(o_obs.kf)
+        o_obs_lm = np.asarray(o_obs.lm)
+        rows = [i for i in np.nonzero(o_obs_valid)[0]
+                if int(o_obs_kf[i]) in slot_map
+                and int(o_obs_lm[i]) in lm_map]
+        rows = rows[: obs.capacity - self._num_obs]
+        if rows:
+            dst = jnp.asarray(np.arange(self._num_obs,
+                                        self._num_obs + len(rows)))
+            obs = obs._replace(
+                kf=obs.kf.at[dst].set(jnp.asarray(
+                    [slot_map[int(o_obs_kf[i])] for i in rows], np.int32)),
+                lm=obs.lm.at[dst].set(jnp.asarray(
+                    [lm_map[int(o_obs_lm[i])] for i in rows], np.int32)),
+                uv=obs.uv.at[dst].set(o_obs.uv[jnp.asarray(
+                    np.asarray(rows))]),
+                valid=obs.valid.at[dst].set(True))
+
+        self._st = st._replace(store=store, lmap=lmap, obs=obs)
+        self._num_kf = base_ord + len(keep)
+        self._num_lm = self._num_lm + len(lm_rows)
+        self._num_obs = self._num_obs + len(rows)
+        self._cache_last((self._num_kf - 1) % cap)
+        m.count("maps_merged")
+        m.gauge("num_keyframes", self.num_keyframes)
+        m.gauge("num_landmarks", self._num_lm)
+        return len(keep)
+
     def optimise_pose_graph(self, loop_edges=()):
         """Global pose-graph GN over stored keyframes: sequential odometry
         edges (from current poses) plus `loop_edges` =

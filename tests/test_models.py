@@ -670,3 +670,56 @@ def test_nonfinite_pose_detected_as_lost():
     assert np.isfinite(np.asarray(out["pose_R"])).all()
     assert slam.num_keyframes >= kf_before
     del pos_before
+
+
+def test_merge_maps_multi_session():
+    """Multi-session rendezvous: session B (own origin, own monocular
+    scale) merges into session A via SIM(3) from relocalised anchors; the
+    fused keyframe trajectory must match ground truth and the fused map
+    must keep working (relocalisation + continued tracking)."""
+    xyz, desc = make_world(seed=71)
+    Rs, ts = make_trajectory(16)
+    cfg = tiny_cfg()
+    proj = projector(xyz, desc, Rs, ts)
+
+    a = KeyframeSLAM(cfg, FX, FY, CX, CY, features_fn=proj,
+                     keyframe_min_inliers=220, keyframe_max_gap=2)
+    for i in range(8):
+        a.process(i)
+    # session B starts at frame 6 (overlapping A's coverage) with its OWN
+    # origin: B's internal frame 6 pose is identity
+    b = KeyframeSLAM(cfg, FX, FY, CX, CY,
+                     features_fn=lambda i: proj(int(i) + 6),
+                     keyframe_min_inliers=220, keyframe_max_gap=2, seed=99)
+    for i in range(10):
+        b.process(i)   # world frames 6..15
+    na, nb = a.num_keyframes, b.num_keyframes
+    la = a.num_landmarks
+    assert na >= 4 and nb >= 5
+
+    merged = a.merge_map(b.state)
+    assert merged == nb, (merged, nb)
+    assert a.num_keyframes == na + nb
+    assert a.num_landmarks > la
+
+    # the fused keyframe trajectory matches ground truth (scale-aligned;
+    # B's keyframes are world frames 6..15 shifted into A's frame)
+    gt = []
+    for v in a.keyframes:
+        f = v.frame if v.index < na else v.frame + 6
+        gt.append(-Rs[f].T @ ts[f])
+    err = ate_rmse(a.keyframe_positions(), np.stack(gt), with_scale=True)
+    assert err < 0.2, err
+
+    # the fused map is live: relocalise a late view only B had mapped
+    pose = a.relocalise(15, min_matches=30)
+    assert pose is not None
+    assert np.linalg.norm(np.asarray(pose[0]) - Rs[15]) < 0.12
+
+    # and tracking continues through the merged store
+    out = a.process(15)
+    assert not out["lost"]
+
+    # degenerate case: merging an EMPTY state is rejected
+    from pislam_tpu.models.slam import init_state
+    assert a.merge_map(init_state(cfg)) == -1
