@@ -1,1 +1,1 @@
-from . import camera, epipolar, ransac, se3  # noqa: F401
+from . import camera, epipolar, homography, ransac, se3  # noqa: F401
