@@ -154,6 +154,44 @@ def recover_pose_homography(H, p1, p2, weights):
             jnp.maximum(scores2[k2], 0.0))
 
 
+@partial(jax.jit, static_argnames=("iters",))
+def select_model(key, p1, p2, valid, iters: int = 256,
+                 e_threshold: float = 1.5e-3, h_threshold: float = 2e-3,
+                 h_ratio: float = 0.45):
+    """Two-view initialisation with E/H model selection (ORB-SLAM rule).
+
+    Runs both the essential and the homography RANSAC on the same
+    correspondences and picks the homography's pose when its inlier share
+    S_H / (S_H + S_E) exceeds ``h_ratio`` (planar / low-parallax scene,
+    where the essential solve is degenerate). Returns a dict with R, t
+    (unit), inliers, num_inliers, used_homography (bool) and, when the
+    homography wins, its planar two-fold twin (R2/t2/ambiguous).
+    """
+    from . import ransac as ransac_mod
+
+    k1, k2 = jax.random.split(key)
+    oe = ransac_mod.ransac_essential(
+        k1, p1, p2, valid, iters=iters, inlier_threshold=e_threshold)
+    oh = ransac_homography(
+        k2, p1, p2, valid, iters=iters, inlier_threshold=h_threshold)
+    s_e = oe["num_inliers"].astype(jnp.float32)
+    s_h = oh["num_inliers"].astype(jnp.float32)
+    use_h = s_h / jnp.maximum(s_h + s_e, 1.0) > h_ratio
+    return {
+        "R": jnp.where(use_h, oh["R"], oe["R"]),
+        "t": jnp.where(use_h, oh["t"],
+                       oe["t"] / jnp.maximum(
+                           jnp.linalg.norm(oe["t"]), 1e-9)),
+        "inliers": jnp.where(use_h, oh["inliers"], oe["inliers"]),
+        "num_inliers": jnp.where(use_h, oh["num_inliers"],
+                                 oe["num_inliers"]),
+        "used_homography": use_h,
+        "R2": oh["R2"],
+        "t2": oh["t2"],
+        "ambiguous": use_h & oh["ambiguous"],
+    }
+
+
 @partial(jax.jit, static_argnames=("iters", "sample_size"))
 def ransac_homography(key, p1, p2, valid, iters: int = 256,
                       sample_size: int = 4, inlier_threshold: float = 2e-3):

@@ -113,3 +113,35 @@ def test_pure_rotation_case():
     # every candidate collapses to the rotation, zero translation
     assert np.linalg.norm(np.asarray(Rc[0]) - R) < 1e-3
     assert np.linalg.norm(np.asarray(tc)) < 1e-6
+
+
+def test_select_model_planar_vs_general():
+    """E/H model selection: a planar scene routes to the homography pose,
+    a general 3D scene stays with the essential pose -- both accurate."""
+    # planar: homography must win
+    p1, p2, R, t, _ = planar_scene(seed=11)
+    n = len(p1)
+    out = homography.select_model(
+        jax.random.PRNGKey(2), jnp.asarray(p1), jnp.asarray(p2),
+        jnp.ones(n, bool), iters=128)
+    assert bool(out["used_homography"])
+    d1 = np.linalg.norm(np.asarray(out["R"]) - R)
+    d2 = np.linalg.norm(np.asarray(out["R2"]) - R)
+    assert min(d1, d2) < 2e-2, (d1, d2)
+
+    # general 3D cloud: essential must win and be accurate
+    rng = np.random.default_rng(13)
+    X = rng.uniform([-3, -2, 3], [3, 2, 12], (160, 3)).astype(np.float32)
+    w = np.float32([0.05, -0.08, 0.03])
+    Rg = np.asarray(se3.so3_exp(jnp.asarray(w))).astype(np.float32)
+    tg = np.float32([0.3, -0.1, 0.15])
+    X2 = X @ Rg.T + tg
+    q1 = (X[:, :2] / X[:, 2:]).astype(np.float32)
+    q2 = (X2[:, :2] / X2[:, 2:]).astype(np.float32)
+    out = homography.select_model(
+        jax.random.PRNGKey(3), jnp.asarray(q1), jnp.asarray(q2),
+        jnp.ones(len(q1), bool), iters=128)
+    assert not bool(out["used_homography"])
+    assert np.linalg.norm(np.asarray(out["R"]) - Rg) < 5e-3
+    tn = tg / np.linalg.norm(tg)
+    assert np.linalg.norm(np.asarray(out["t"]) - tn) < 1e-2
