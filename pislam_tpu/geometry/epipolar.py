@@ -47,19 +47,16 @@ def essential_8pt(p1, p2, weights=None):
     return u @ (d[..., :, None] * vt2)
 
 
-def essential_8pt_fast(p1, p2):
-    """LAPACK-free batched nullvector for 8-point RANSAC hypotheses.
+def nullvec_8x9(a):
+    """(..., 8, 9) -> (..., 9) unit nullvector, LAPACK-free.
 
-    For an exactly-8-sample A (8, 9) the nullvector is the 9th column of
-    Q in the QR factorisation of A^T (9, 8) -- computed here as 8 batched
-    Householder reflections (fixed-shape, unrolled, pure VPU arithmetic).
-    On TPU this replaces the per-hypothesis LAPACK-style SVD loop that
-    measured as ~98% of the whole VO frame (tools/ab_ransac.py). Exact up
-    to f32 roundoff (matches the SVD nullvector direction); the winning
-    inlier set is still refit with `essential_8pt` (exact SVD + essential-
-    manifold projection, once) before pose recovery. Returns the
-    UNPROJECTED (3, 3) E estimates for Sampson scoring."""
-    a = _constraint_rows(p1, p2)                 # (..., 8, 9)
+    The nullvector of an exactly-8-row A is the 9th column of Q in the QR
+    factorisation of A^T (9, 8), computed as 8 batched Householder
+    reflections -- fixed-shape, unrolled, pure VPU arithmetic, exact to
+    f32 roundoff. On TPU this replaces per-hypothesis LAPACK-style SVD
+    loops, which measured as ~98% of the whole VO frame
+    (tools/ab_ransac.py). Shared by the essential (8 x 1-row) and
+    homography (4 x 2-row) RANSAC hypothesis solvers."""
     r = jnp.swapaxes(a, -1, -2)                  # (..., 9, 8) = A^T
     i9 = jnp.arange(9)
     vs = []
@@ -80,7 +77,17 @@ def essential_8pt_fast(p1, p2):
     q = (i9 == 8).astype(a.dtype) * jnp.ones_like(a[..., 0, :])
     for v in reversed(vs):
         q = q - 2.0 * v * jnp.sum(v * q, axis=-1, keepdims=True)
-    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-30)
+    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True),
+                           1e-30)
+
+
+def essential_8pt_fast(p1, p2):
+    """LAPACK-free batched 8-point hypotheses (see nullvec_8x9).
+
+    Returns UNPROJECTED (3, 3) E estimates for Sampson scoring; refit the
+    winning inlier set with `essential_8pt` (exact SVD + essential-
+    manifold projection, once) before pose recovery."""
+    q = nullvec_8x9(_constraint_rows(p1, p2))
     return q.reshape(q.shape[:-1] + (3, 3))
 
 

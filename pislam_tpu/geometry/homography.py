@@ -42,6 +42,25 @@ def homography_dlt(p1, p2, weights=None):
     return vt[-1].reshape(3, 3)
 
 
+def homography_dlt_fast(p1, p2):
+    """(..., 4, 2) sample pairs -> batched UNNORMALISED H hypotheses.
+
+    A 4-point sample gives an exactly-8-row DLT system: the nullvector
+    comes from the shared LAPACK-free Householder QR
+    (epipolar.nullvec_8x9) instead of a per-hypothesis SVD loop (the same
+    TPU pathology tools/ab_ransac.py measured for the essential solver).
+    Refit the winner with `homography_dlt` (exact SVD, once)."""
+    x1, y1 = p1[..., 0], p1[..., 1]
+    x2, y2 = p2[..., 0], p2[..., 1]
+    z = jnp.zeros_like(x1)
+    o = jnp.ones_like(x1)
+    r1 = jnp.stack([-x1, -y1, -o, z, z, z, x2 * x1, x2 * y1, x2], axis=-1)
+    r2 = jnp.stack([z, z, z, -x1, -y1, -o, y2 * x1, y2 * y1, y2], axis=-1)
+    a = jnp.concatenate([r1, r2], axis=-2)       # (..., 8, 9)
+    q = epipolar.nullvec_8x9(a)
+    return q.reshape(q.shape[:-1] + (3, 3))
+
+
 def transfer_error(H, p1, p2):
     """(N,) symmetric transfer error of p2 ~ H p1 (both directions)."""
     def err(H, a, b):
@@ -203,7 +222,7 @@ def ransac_homography(key, p1, p2, valid, iters: int = 256,
     logits = jnp.where(valid, 0.0, -jnp.inf)
     idx = jax.random.categorical(
         key, logits[None, :], shape=(iters, sample_size))
-    hs = jax.vmap(homography_dlt)(p1[idx], p2[idx])      # (iters, 3, 3)
+    hs = homography_dlt_fast(p1[idx], p2[idx])           # (iters, 3, 3)
     err = jax.vmap(lambda h: transfer_error(h, p1, p2))(hs)
     thr2 = inlier_threshold * inlier_threshold
     inl = (err < thr2) & valid[None, :]
