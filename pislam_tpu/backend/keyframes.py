@@ -214,6 +214,110 @@ def cull_landmarks(store: KeyframeStore, lmap: LandmarkMap,
     return new_map, new_obs
 
 
+def covisibility(store: KeyframeStore, lmap: LandmarkMap,
+                 obs: ObservationTable):
+    """(F, F) covisibility weights: shared-landmark counts between keyframes.
+
+    The ORB-SLAM covisibility graph computed the TPU way: scatter the
+    observation table into a dense (F, L) incidence matrix, then one MXU
+    matmul gives every pairwise count at once (no per-edge host logic).
+    f32 is exact for counts < 2^24. Diagonal is zeroed; rows/columns of
+    invalid keyframes are all zero.
+    """
+    F, L = store.capacity, lmap.capacity
+    ok = obs.valid & store.valid[obs.kf] & lmap.valid[obs.lm]
+    inc = jnp.zeros((F, L), jnp.float32).at[obs.kf, obs.lm].max(
+        ok.astype(jnp.float32))
+    w = jnp.round(inc @ inc.T).astype(jnp.int32)
+    return w * (1 - jnp.eye(F, dtype=jnp.int32))
+
+
+def keyframe_redundancy(store: KeyframeStore, lmap: LandmarkMap,
+                        obs: ObservationTable, min_other_obs: int = 3):
+    """Per-slot redundancy: fraction of a keyframe's observed landmarks that
+    are also observed by >= ``min_other_obs`` OTHER keyframes (so total
+    observation count >= min_other_obs + 1). Returns (frac (F,), n_seen (F,)).
+    All fixed-shape segment sums -- jit-safe."""
+    F, L = store.capacity, lmap.capacity
+    ok = obs.valid & store.valid[obs.kf] & lmap.valid[obs.lm]
+    lmseg = jnp.where(ok, obs.lm, L)
+    n_tot = jnp.zeros(L, jnp.int32).at[lmseg].add(1, mode="drop")
+    well = ok & (n_tot[jnp.clip(obs.lm, 0, L - 1)] >= min_other_obs + 1)
+    kfseg = jnp.where(ok, obs.kf, F)
+    n_seen = jnp.zeros(F, jnp.int32).at[kfseg].add(1, mode="drop")
+    n_red = jnp.zeros(F, jnp.int32).at[kfseg].add(
+        well.astype(jnp.int32), mode="drop")
+    frac = n_red.astype(jnp.float32) / jnp.maximum(n_seen, 1)
+    return frac, n_seen
+
+
+def cull_one_keyframe(store: KeyframeStore, lmap: LandmarkMap,
+                      obs: ObservationTable, eligible,
+                      min_other_obs: int = 3,
+                      redundant_fraction: float = 0.9):
+    """Cull the single most redundant eligible keyframe (pure, jit-safe).
+
+    ORB-SLAM's keyframe-culling rule: a keyframe whose landmarks are
+    almost all (>= ``redundant_fraction``) seen by >= ``min_other_obs``
+    other keyframes adds nothing to the map but costs BA/pose-graph work.
+    One keyframe per call (culling changes the redundancy counts of the
+    survivors, so batch-culling could over-cull); the host loop iterates.
+
+    ``eligible`` (F,) bool masks slots the caller protects (the newest
+    tracking references, the gauge-anchor oldest keyframe). The culled
+    slot keeps its ordinal but turns invalid; its observation rows are
+    invalidated and the landmarks' obs_count decremented. Returns
+    (store, lmap, obs, slot) with slot == -1 when nothing was culled.
+    """
+    frac, n_seen = keyframe_redundancy(store, lmap, obs, min_other_obs)
+    cand = store.valid & eligible & (n_seen > 0) & \
+        (frac >= redundant_fraction)
+    slot = jnp.argmax(jnp.where(cand, frac, -1.0))
+    found = jnp.any(cand)
+    slot_or = jnp.where(found, slot, store.capacity)  # capacity = no-op
+    rows = obs.valid & (obs.kf == slot_or)
+    dec = jnp.where(rows, obs.lm, lmap.capacity)
+    lmap2 = lmap._replace(
+        obs_count=lmap.obs_count.at[dec].add(-1, mode="drop"))
+    obs2 = obs._replace(valid=obs.valid & ~rows)
+    store2 = store._replace(
+        valid=store.valid.at[slot_or].set(False, mode="drop"))
+    return store2, lmap2, obs2, jnp.where(found, slot.astype(jnp.int32), -1)
+
+
+def compact_map(lmap: LandmarkMap, obs: ObservationTable):
+    """Re-pack live landmarks and observation rows to the front (pure).
+
+    The landmark/observation stores drop newest-first when their cursors
+    saturate (add_landmarks); culling invalidates rows but cannot move the
+    cursor back. Compaction makes long sessions sustainable: a stable
+    argsort moves valid rows to the front preserving order, observation
+    landmark indices are remapped through the permutation, and the
+    returned (n_lm, n_obs) are the new cursors. One fixed-shape gather
+    per array -- jit-safe, O(L log L + O log O) on device.
+    """
+    L, O = lmap.capacity, obs.capacity
+    order = jnp.argsort(~lmap.valid, stable=True)
+    new_pos = jnp.zeros(L, jnp.int32).at[order].set(
+        jnp.arange(L, dtype=jnp.int32))
+    lmap2 = LandmarkMap(
+        xyz=lmap.xyz[order],
+        descriptors=lmap.descriptors[order],
+        obs_count=lmap.obs_count[order],
+        valid=lmap.valid[order],
+    )
+    oorder = jnp.argsort(~obs.valid, stable=True)
+    obs2 = ObservationTable(
+        kf=obs.kf[oorder],
+        lm=new_pos[obs.lm][oorder],
+        uv=obs.uv[oorder],
+        valid=obs.valid[oorder],
+    )
+    n_lm = jnp.sum(lmap.valid.astype(jnp.int32))
+    n_obs = jnp.sum(obs.valid.astype(jnp.int32))
+    return lmap2, obs2, n_lm, n_obs
+
+
 def add_observations(lmap: LandmarkMap, obs: ObservationTable, obs_cursor,
                      kf_slot, lm_slot, uv, mask):
     """Append observation rows of EXISTING landmarks (data association).

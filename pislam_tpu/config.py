@@ -154,6 +154,11 @@ class BAConfig:
     max_obs: int = 16384  # padded observation capacity
     gn_iters: int = 8  # Gauss-Newton/LM iterations (static)
     damping: float = 1e-4  # initial LM damping
+    # select the BA window by covisibility (newest keyframe + its most
+    # covisible partners, the ORB-SLAM local-BA neighbourhood) instead of
+    # the last `window` keyframes temporally. Helps after loop closures /
+    # revisits where the best constraints are not the temporal neighbours.
+    covisibility_window: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

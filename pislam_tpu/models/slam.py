@@ -248,6 +248,13 @@ class KeyframeSLAM:
                 cross_check=cfg.matcher.cross_check)[1])
         self._insert = self._build_insert()
         self._track_map = self._build_track_map()
+        self._covis = jax.jit(kfs.covisibility)
+        self._cull_kf = jax.jit(kfs.cull_one_keyframe,
+                                static_argnums=(4, 5))
+        self._compact = jax.jit(kfs.compact_map)
+        # slots invalidated by keyframe culling (host mirror; an insert
+        # that reuses the slot removes it again)
+        self._culled_slots: set = set()
         if mesh is not None:
             # map scaling across chips: the big matmuls -- map tracking
             # against the landmark map and store-wide loop detection --
@@ -271,10 +278,15 @@ class KeyframeSLAM:
     def set_state(self, state: SlamState):
         """Adopt a SlamState (e.g. restored from a checkpoint)."""
         self._st = state
-        c = np.asarray(state.counters)
+        # one batched host sync for counters + slot bookkeeping
+        c, valid, ordinal = jax.device_get(
+            (state.counters, state.store.valid, state.store.ordinal))
         self._num_kf, self._num_lm, self._num_obs = int(c[0]), int(c[1]), \
             int(c[2])
         self._frame_idx, self._since_kf = int(c[3]), int(c[4])
+        # culled slots keep their ordinal but turn invalid
+        self._culled_slots = {
+            int(s) for s in np.nonzero(~valid & (ordinal >= 0))[0]}
         if self._num_kf > 0:
             slot = (self._num_kf - 1) % self.capacity
             self._cache_last(slot)
@@ -566,6 +578,7 @@ class KeyframeSLAM:
         c = np.asarray(self._st.counters)
         self._num_kf, self._num_lm, self._num_obs = int(c[0]), int(c[1]), \
             int(c[2])
+        self._culled_slots.discard((self._num_kf - 1) % self.capacity)
         self._cache_last((self._num_kf - 1) % self.capacity)
         if self._num_kf >= 2:
             self._local_ba()
@@ -573,15 +586,41 @@ class KeyframeSLAM:
     # -- bundle adjustment --------------------------------------------------
 
     def _window(self, size: Optional[int] = None):
-        """(ordinals, slots) of the newest `size` keyframes, oldest first."""
+        """(ordinals, slots) of the newest `size` keyframes, oldest first.
+        Culled slots are skipped (their observation rows are gone)."""
         w = min(size or self.cfg.ba.window, self._num_kf)
         base = self._num_kf - w
-        ordinals = list(range(base, self._num_kf))
-        return ordinals, [o % self.capacity for o in ordinals]
+        pairs = [(o, o % self.capacity) for o in range(base, self._num_kf)
+                 if (o % self.capacity) not in self._culled_slots]
+        return [o for o, _ in pairs], [s for _, s in pairs]
+
+    def _window_covis(self):
+        """(ordinals, slots) of the newest keyframe plus its most covisible
+        keyframes (shared-landmark weights, backend/keyframes.covisibility)
+        -- ORB-SLAM's local-BA neighbourhood instead of the temporal window.
+        Falls back to the temporal window when the newest keyframe has no
+        covisible partners yet (bootstrap)."""
+        w = self.cfg.ba.window
+        st = self._st
+        weights, valid, ordinal = jax.device_get(
+            (self._covis(st.store, st.lmap, st.obs),
+             st.store.valid, st.store.ordinal))
+        cur = (self._num_kf - 1) % self.capacity
+        wrow = np.where(valid, weights[cur], -1)
+        wrow[cur] = -1
+        order = np.argsort(-wrow, kind="stable")
+        picked = [cur] + [int(s) for s in order if wrow[s] > 0][: w - 1]
+        if len(picked) < 2:
+            return self._window()
+        picked.sort(key=lambda s: int(ordinal[s]))
+        return [int(ordinal[s]) for s in picked], picked
 
     def _local_ba(self):
         bc = self.cfg.ba
-        ordinals, slots = self._window()
+        if bc.covisibility_window and self._num_kf > bc.window:
+            ordinals, slots = self._window_covis()
+        else:
+            ordinals, slots = self._window()
         self._run_ba(ordinals, slots, C=bc.window, max_points=bc.max_points,
                      max_obs=bc.max_obs, iters=bc.gn_iters)
 
@@ -607,7 +646,6 @@ class KeyframeSLAM:
         bc = self.cfg.ba
         if len(ordinals) < 2 or self._num_obs == 0:
             return
-        base = ordinals[0]
         st = self._st
         # one host readback of the observation tables (per keyframe, not
         # per frame)
@@ -617,8 +655,15 @@ class KeyframeSLAM:
         obs_valid = np.asarray(st.obs.valid)
         kf_ordinal = np.asarray(st.store.ordinal)
 
+        # rows whose keyframe ordinal is IN the window (set membership, not
+        # a contiguous range: the covisibility window picks non-adjacent
+        # keyframes); `ordinals` is sorted ascending
+        ords = np.asarray(ordinals)
         ords_of_obs = kf_ordinal[obs_kf]
-        sel = obs_valid & (ords_of_obs >= base)
+        pos_in = np.searchsorted(ords, ords_of_obs)
+        member = (pos_in < len(ords)) & \
+            (ords[np.minimum(pos_in, len(ords) - 1)] == ords_of_obs)
+        sel = obs_valid & member
         sel_idx = np.where(sel)[0]
         if len(sel_idx) == 0:
             return
@@ -637,7 +682,7 @@ class KeyframeSLAM:
         uv = np.zeros((O, 2), np.float32)
         ov = np.zeros(O, bool)
         nr = len(rows)
-        obs_cam[:nr] = ords_of_obs[rows] - base
+        obs_cam[:nr] = np.searchsorted(ords, ords_of_obs[rows])
         obs_pt[:nr] = np.searchsorted(lm_slots, obs_lm[rows])
         uv[:nr] = obs_uv[rows]
         ov[:nr] = True
@@ -694,10 +739,76 @@ class KeyframeSLAM:
         self.metrics.count("landmarks_culled", culled)
         return culled
 
+    # -- covisibility / keyframe culling / compaction ------------------------
+
+    def covisibility(self) -> np.ndarray:
+        """(F, F) shared-landmark counts between keyframe slots (one MXU
+        dispatch over the observation table; backend/keyframes.covisibility).
+        The ORB-SLAM covisibility graph."""
+        st = self._st
+        return np.asarray(self._covis(st.store, st.lmap, st.obs))
+
+    def cull_keyframes(self, max_cull: int = 1, protect_recent: int = 3,
+                       min_other_obs: int = 3,
+                       redundant_fraction: float = 0.9):
+        """Cull redundant keyframes (ORB-SLAM keyframe culling).
+
+        A keyframe is redundant when >= ``redundant_fraction`` of its
+        observed landmarks are seen by >= ``min_other_obs`` other keyframes.
+        One keyframe is culled per device dispatch (culling changes the
+        survivors' redundancy, so batch culling could strip a region bare);
+        up to ``max_cull`` iterations. The newest ``protect_recent``
+        keyframes (tracking references) and the oldest (BA/pose-graph gauge
+        anchor) are never culled. Returns the culled ordinals, oldest pass
+        first. Pair with compact() to reclaim observation capacity.
+        """
+        protect_recent = max(1, protect_recent)
+        culled = []
+        m = self.metrics
+        for _ in range(max_cull):
+            st = self._st
+            ordinal = np.asarray(st.store.ordinal)
+            valid = np.asarray(st.store.valid)
+            if int(valid.sum()) <= protect_recent + 2:
+                break
+            min_ord = int(ordinal[valid].min())
+            eligible = valid & (ordinal > min_ord) \
+                & (ordinal < self._num_kf - protect_recent)
+            if not eligible.any():
+                break
+            with m.timer("cull_keyframes"):
+                store, lmap, obs, slot = self._cull_kf(
+                    st.store, st.lmap, st.obs, jnp.asarray(eligible),
+                    min_other_obs, redundant_fraction)
+                slot = int(slot)
+            if slot < 0:
+                break
+            self._st = st._replace(store=store, lmap=lmap, obs=obs)
+            self._culled_slots.add(slot)
+            culled.append(int(ordinal[slot]))
+        if culled:
+            m.count("keyframes_culled", len(culled))
+            m.gauge("num_keyframes", self.num_keyframes)
+        return culled
+
+    def compact(self):
+        """Re-pack live landmarks/observations to the front of their stores
+        and pull the cursors back (backend/keyframes.compact_map) -- culling
+        invalidates rows but only compaction reclaims their capacity for a
+        long-running session. Returns (num_landmarks, num_observations)."""
+        st = self._st
+        with self.metrics.timer("compact"):
+            lmap, obs, n_lm, n_obs = self._compact(st.lmap, st.obs)
+            self._num_lm, self._num_obs = int(n_lm), int(n_obs)
+        self._st = st._replace(lmap=lmap, obs=obs)
+        self.metrics.gauge("num_landmarks", self._num_lm)
+        self.metrics.gauge("num_observations", self._num_obs)
+        return self._num_lm, self._num_obs
+
     # -- loop closure / relocalisation --------------------------------------
 
     def match_keyframe(self, feats, pts, exclude_recent: int = 0,
-                       min_matches: int = 30):
+                       min_matches: int = 30, exclude_slots=None):
         """Match features against the ENTIRE keyframe store in one dispatch;
         localise against the best-supported keyframe.
 
@@ -714,6 +825,8 @@ class KeyframeSLAM:
         ordinal = np.asarray(self._st.store.ordinal)
         valid = np.asarray(self._st.store.valid)
         eligible = valid & (ordinal < self._num_kf - exclude_recent)
+        if exclude_slots is not None:
+            eligible = eligible & ~np.asarray(exclude_slots, bool)
         counts = np.where(eligible, counts, -1)
         best_slot = int(np.argmax(counts))
         if counts[best_slot] < min_matches:
@@ -727,12 +840,18 @@ class KeyframeSLAM:
         t = t / max(np.linalg.norm(t), 1e-9)
         return int(ordinal[best_slot]), np.asarray(out["R"]), t, n_inl
 
-    def try_close_loop(self, min_matches: int = 40, exclude_recent: int = 3):
+    def try_close_loop(self, min_matches: int = 40, exclude_recent: int = 3,
+                       exclude_covisible_weight: int = 0):
         """Detect a loop for the newest keyframe and optimise the pose graph.
 
         The loop edge's translation is monocular (unit norm); its scale is
         set from the current pose estimates of the two keyframes, so the
         edge corrects drift in direction/rotation rather than scale.
+        With ``exclude_covisible_weight`` > 0, keyframes sharing at least
+        that many landmarks with the query are additionally excluded
+        (ORB-SLAM's covisibility-consistency rule: a keyframe already
+        connected to the query through the map is the local neighbourhood,
+        not a loop -- a "closure" against it adds no new constraint).
         Returns the matched keyframe ordinal, or -1 if no loop was found.
         """
         if self._num_kf < exclude_recent + 2:
@@ -743,10 +862,13 @@ class KeyframeSLAM:
         feats_like = Features(
             codes=self._st.store.codes[cur_slot], valid=kvalid,
             angles=jnp.zeros(kvalid.shape[0], jnp.uint8), descriptors=desc)
+        excl = None
+        if exclude_covisible_weight > 0:
+            excl = self.covisibility()[cur_slot] >= exclude_covisible_weight
         with m.timer("loop_detect"):
             idx, R_rel, t_unit, _ = self.match_keyframe(
                 feats_like, pts, exclude_recent=exclude_recent,
-                min_matches=min_matches)
+                min_matches=min_matches, exclude_slots=excl)
         if idx < 0:
             return -1
         old_slot = idx % self.capacity
@@ -1012,7 +1134,7 @@ class KeyframeSLAM:
 
     @property
     def num_keyframes(self) -> int:
-        return min(self._num_kf, self.capacity)
+        return min(self._num_kf, self.capacity) - len(self._culled_slots)
 
     @property
     def num_landmarks(self) -> int:

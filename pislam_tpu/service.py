@@ -127,6 +127,11 @@ def main(argv=None):
                          "DURING the run (continuous SLAM), not only at "
                          "the end; each successful closure optimises the "
                          "pose graph immediately")
+    ap.add_argument("--cull-every", type=int, default=0,
+                    help="every N new keyframes: cull redundant keyframes "
+                         "(ORB-SLAM rule) + badly-reprojecting landmarks, "
+                         "then compact the map stores to reclaim capacity "
+                         "(long-session map maintenance)")
     ap.add_argument("--traj-out", help="write TUM-format trajectory here")
     ap.add_argument("--map-out",
                     help="write the final landmark map + keyframe path as "
@@ -222,6 +227,8 @@ def main(argv=None):
     poses = []  # (R, t) world->cam per processed frame
     loops_closed = [0]
     last_loop_kf = [0]
+    last_cull_kf = [0]
+    kf_culled = [0]
 
     def step(state, item):
         slam.set_state(state)
@@ -239,6 +246,12 @@ def main(argv=None):
             last_loop_kf[0] = slam.num_keyframes
             if slam.try_close_loop() >= 0:
                 loops_closed[0] += 1
+        if (args.cull_every and not args.localization_only
+                and slam.num_keyframes - last_cull_kf[0] >= args.cull_every):
+            last_cull_kf[0] = slam.num_keyframes
+            kf_culled[0] += len(slam.cull_keyframes(max_cull=2))
+            slam.cull_landmarks()
+            slam.compact()
         if args.metrics:
             metrics.emit(frames_done=len(poses))
         return slam.state
@@ -298,6 +311,7 @@ def main(argv=None):
               "frames_lost": slam.frames_lost,
               "relocalisations": slam.relocalisations,
               "loops_closed_midrun": loops_closed[0],
+              "keyframes_culled": kf_culled[0],
               "loop_closed_to_kf": int(loop)}
     if gt is not None and skipped == 0 and len(poses) == n_frames:
         est = np.stack([-R.T @ t for R, t in poses])

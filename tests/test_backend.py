@@ -325,3 +325,113 @@ def test_refresh_descriptors_updates_anchor():
         got = np.asarray(st.lmap.descriptors[:min(K, n_lm)])
         want = (d2 if refresh else d1)[:min(K, n_lm)]
         assert np.array_equal(got, want), refresh
+
+
+# -- covisibility / keyframe culling / compaction ----------------------------
+
+
+def _toy_map():
+    """4 keyframes, 4 live landmarks, hand-written observation rows.
+
+    kf0 sees lm{0,1,2}; kf1 sees lm{0,1,2,3}; kf2 sees lm{0,1,2};
+    kf3 sees lm{0,1,2,3}.  So lm0-2 have 4 observations each, lm3 has 2.
+    """
+    store = keyframes.empty_store(capacity=4, max_kp=4, words=2)
+    store = store._replace(valid=jnp.ones(4, bool),
+                           ordinal=jnp.arange(4, dtype=jnp.int32),
+                           frame_id=jnp.arange(4, dtype=jnp.int32))
+    lmap = keyframes.empty_map(8, words=2)
+    lmap = lmap._replace(
+        valid=jnp.arange(8) < 4,
+        xyz=jnp.arange(24, dtype=jnp.float32).reshape(8, 3))
+    sees = {0: [0, 1, 2], 1: [0, 1, 2, 3], 2: [0, 1, 2], 3: [0, 1, 2, 3]}
+    kf, lm = [], []
+    for f, ls in sees.items():
+        kf += [f] * len(ls)
+        lm += ls
+    n = len(kf)
+    obs = keyframes.empty_obs(16)
+    obs = obs._replace(kf=obs.kf.at[:n].set(jnp.int32(kf)),
+                       lm=obs.lm.at[:n].set(jnp.int32(lm)),
+                       valid=obs.valid.at[:n].set(True))
+    lmap = lmap._replace(
+        obs_count=jnp.zeros(8, jnp.int32).at[jnp.int32(lm)].add(1))
+    return store, lmap, obs
+
+
+def test_covisibility_counts():
+    store, lmap, obs = _toy_map()
+    W = np.asarray(keyframes.covisibility(store, lmap, obs))
+    assert (W == W.T).all()
+    assert (np.diag(W) == 0).all()
+    assert W[0, 1] == 3 and W[1, 3] == 4 and W[0, 2] == 3 and W[2, 3] == 3
+
+    # rows of an invalidated keyframe disappear
+    store2 = store._replace(valid=store.valid.at[1].set(False))
+    W2 = np.asarray(keyframes.covisibility(store2, lmap, obs))
+    assert (W2[1] == 0).all() and (W2[:, 1] == 0).all()
+    assert W2[0, 3] == 3
+
+
+def test_keyframe_redundancy_and_cull():
+    store, lmap, obs = _toy_map()
+    frac, n_seen = keyframes.keyframe_redundancy(store, lmap, obs,
+                                                 min_other_obs=3)
+    frac = np.asarray(frac)
+    # kf0/kf2 see only lm0-2 (4 obs each -> redundant): frac 1.0;
+    # kf1/kf3 also see lm3 (2 obs): frac 3/4
+    assert np.allclose(frac, [1.0, 0.75, 1.0, 0.75])
+    assert np.asarray(n_seen).tolist() == [3, 4, 3, 4]
+
+    eligible = jnp.asarray([False, True, True, False])
+    store2, lmap2, obs2, slot = keyframes.cull_one_keyframe(
+        store, lmap, obs, eligible, min_other_obs=3, redundant_fraction=0.9)
+    assert int(slot) == 2
+    assert not bool(store2.valid[2])
+    # kf2's rows invalidated, its landmarks' obs_count decremented
+    gone = np.asarray(obs.valid & (obs.kf == 2))
+    assert (~np.asarray(obs2.valid)[gone]).all()
+    assert np.asarray(lmap2.obs_count)[:4].tolist() == [3, 3, 3, 2]
+
+    # a second cull finds nothing: lm0-2 now have only 3 observations,
+    # so no remaining keyframe clears the redundancy bar
+    _s3, _l3, _o3, slot2 = keyframes.cull_one_keyframe(
+        store2, lmap2, obs2, eligible, min_other_obs=3,
+        redundant_fraction=0.9)
+    assert int(slot2) == -1
+
+    # protected slots are never culled even when redundant
+    _s4, _l4, _o4, slot3 = keyframes.cull_one_keyframe(
+        store, lmap, obs, jnp.asarray([False, True, False, False]),
+        min_other_obs=3, redundant_fraction=0.9)
+    assert int(slot3) == -1
+
+
+def test_compact_map_repacks_and_remaps():
+    store, lmap, obs = _toy_map()
+    # cull kf2, then additionally kill landmark 1 and its rows
+    store, lmap, obs, _ = keyframes.cull_one_keyframe(
+        store, lmap, obs, jnp.asarray([False, True, True, False]),
+        min_other_obs=3, redundant_fraction=0.9)
+    lmap = lmap._replace(valid=lmap.valid.at[1].set(False))
+    obs = obs._replace(valid=obs.valid & (obs.lm != 1))
+
+    # record the live (kf, landmark-xyz, uv) association set before
+    kfv = np.asarray(obs.kf)[np.asarray(obs.valid)]
+    xyzv = np.asarray(lmap.xyz)[np.asarray(obs.lm)[np.asarray(obs.valid)]]
+    before = {(int(k), tuple(x)) for k, x in zip(kfv, xyzv)}
+
+    lmap2, obs2, n_lm, n_obs = keyframes.compact_map(lmap, obs)
+    n_lm, n_obs = int(n_lm), int(n_obs)
+    assert n_lm == 3 and n_obs == len(before)
+    v2 = np.asarray(lmap2.valid)
+    assert v2[:n_lm].all() and not v2[n_lm:].any()
+    ov2 = np.asarray(obs2.valid)
+    assert ov2[:n_obs].all() and not ov2[n_obs:].any()
+    # every surviving observation still points at the same world point
+    kf2 = np.asarray(obs2.kf)[ov2]
+    xyz2 = np.asarray(lmap2.xyz)[np.asarray(obs2.lm)[ov2]]
+    after = {(int(k), tuple(x)) for k, x in zip(kf2, xyz2)}
+    assert after == before
+    # compacted indices are in range of the new cursor
+    assert (np.asarray(obs2.lm)[ov2] < n_lm).all()

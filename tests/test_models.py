@@ -723,3 +723,68 @@ def test_merge_maps_multi_session():
     # degenerate case: merging an EMPTY state is rejected
     from pislam_tpu.models.slam import init_state
     assert a.merge_map(init_state(cfg)) == -1
+
+
+def test_keyframe_culling_and_compaction():
+    """Covisibility graph, ORB-SLAM keyframe culling, and map compaction on
+    a live SLAM session; tracking must survive all three."""
+    xyz, desc = make_world(seed=3)
+    Rs, ts = make_trajectory(24)
+    cfg = tiny_cfg()
+    slam = KeyframeSLAM(cfg, FX, FY, CX, CY,
+                        features_fn=projector(xyz, desc, Rs, ts),
+                        keyframe_min_inliers=220, keyframe_max_gap=2)
+    for i in range(24):
+        slam.process(i)
+    n_before = slam.num_keyframes
+    assert n_before >= 8
+
+    W = slam.covisibility()
+    assert (W == W.T).all() and (np.diag(W) == 0).all()
+    assert W.max() > 0  # consecutive keyframes share landmarks
+
+    culled = slam.cull_keyframes(max_cull=3, protect_recent=2,
+                                 min_other_obs=2, redundant_fraction=0.5)
+    assert culled, "a dense keyframe run must contain redundant keyframes"
+    assert slam.num_keyframes == n_before - len(culled)
+    assert len(slam.keyframes) == slam.num_keyframes
+    # culled ordinals are gone from the host views
+    assert not (set(culled) & {v.index for v in slam.keyframes})
+
+    # compaction pulls the cursors back to the live row counts
+    live_obs = int(np.asarray(slam.state.obs.valid).sum())
+    live_lm = int(np.asarray(slam.state.lmap.valid).sum())
+    n_lm, n_obs = slam.compact()
+    assert (n_lm, n_obs) == (live_lm, live_obs)
+
+    # tracking continues against the culled+compacted map
+    out = slam.process(23)
+    assert not out["lost"]
+
+    # state round-trip preserves the culling bookkeeping
+    st = slam.state
+    slam2 = KeyframeSLAM(cfg, FX, FY, CX, CY,
+                         features_fn=projector(xyz, desc, Rs, ts))
+    slam2.set_state(st)
+    assert slam2.num_keyframes == slam.num_keyframes
+
+
+def test_covisibility_window_ba_ate():
+    """Local BA over the covisibility neighbourhood (ba.covisibility_window)
+    tracks the trajectory as well as the temporal window."""
+    xyz, desc = make_world(seed=4)
+    Rs, ts = make_trajectory(24)
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, ba=dataclasses.replace(cfg.ba, window=4,
+                                    covisibility_window=True))
+    slam = KeyframeSLAM(cfg, FX, FY, CX, CY,
+                        features_fn=projector(xyz, desc, Rs, ts),
+                        keyframe_min_inliers=220, keyframe_max_gap=3)
+    for i in range(24):
+        slam.process(i)
+    assert len(slam.keyframes) >= 4
+    est = slam.keyframe_positions()
+    gt = np.stack([-Rs[f].T @ ts[f] for f in slam.keyframe_frames])
+    err = ate_rmse(est, gt, with_scale=True)
+    assert err < 0.15, err
