@@ -46,6 +46,35 @@ def gaussian5x5(img: np.ndarray) -> np.ndarray:
     return m.astype(np.uint8)
 
 
+def gaussian5x5_fast(img: np.ndarray) -> np.ndarray:
+    """Vectorized equivalent of :func:`gaussian5x5` for the exhaustive
+    dimension sweep (GaussianTest.cpp:153-156 runs all (16..63)^2 shapes;
+    the scalar oracle is far too slow for 2304 shapes).
+
+    Written independently of both the scalar oracle (explicit reflect index
+    arithmetic instead of the rolling five-register window) and the
+    production kernel (no jnp.pad); ``test_scalar_vs_vectorized_golden``
+    anchors it to the scalar oracle.
+    """
+
+    def rh(a, b):
+        return (a + b + 1) >> 1
+
+    def blur_vertical(m):
+        h = m.shape[0]
+        # reflect-101: -2,-1 -> 2,1 and h,h+1 -> h-2,h-3
+        idx = np.abs(np.arange(-2, h + 2))
+        idx = np.where(idx >= h, 2 * h - 2 - idx, idx)
+        p = m[idx]
+        a, b, c, d, e = (p[k:k + h] for k in range(5))
+        return rh(rh(rh(rh(a, e), c), c), rh(b, d))
+
+    m = img.astype(np.int32)
+    m = blur_vertical(m)
+    m = blur_vertical(m.T).T
+    return m.astype(np.uint8)
+
+
 def _rshr(a, n=8):
     return (a >> n) + ((a >> (n - 1)) & 1)
 
