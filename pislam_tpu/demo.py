@@ -43,10 +43,9 @@ def main(argv=None):
     ap.add_argument("--max-keypoints", type=int, default=2048)
     args = ap.parse_args(argv)
 
-    import jax
+    from .utils.cache import enable_compile_cache
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/pislam_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    enable_compile_cache()
     import jax.numpy as jnp
 
     import pislam_tpu

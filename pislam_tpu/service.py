@@ -158,14 +158,12 @@ def main(argv=None):
                          "clobbered)")
     args = ap.parse_args(argv)
 
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pislam_jax_cache")
     import jax
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from .utils.cache import enable_compile_cache
+    enable_compile_cache()
 
     import numpy as np
     import jax.numpy as jnp

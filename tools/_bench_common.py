@@ -9,21 +9,19 @@ loop with minima compared (the chip drifts +-40% between runs; >=16 reps —
 import os
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pislam_jax_cache")
-
 import numpy as np
 import jax
 import jax.numpy as jnp
-
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 import sys  # noqa: E402
 
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
+
+from pislam_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 
 def load_demo():

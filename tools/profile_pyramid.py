@@ -7,18 +7,16 @@ must be interleaved in one loop with minima compared.
 import os
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pislam_jax_cache")
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pislam_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
 
 from pislam_tpu.config import PyramidConfig
 from pislam_tpu.ops.gaussian import gaussian5x5
