@@ -167,6 +167,116 @@ def schur_reduce(hcc, bc, hpp, bp, w, damping, cam_valid, axis_name=None):
     return s, b, hpp_inv, wf
 
 
+def _pcg(apply, minv_apply, b, iters: int):
+    """Fixed-iteration preconditioned conjugate gradient (flat pytree x).
+
+    `apply`/`minv_apply` are linear operators on arrays shaped like `b`.
+    Runs exactly `iters` iterations inside a lax.scan (no data-dependent
+    exit -- XLA-friendly); guards against zero curvature/residual so
+    converged systems stay put instead of producing NaNs.
+    """
+    x = jnp.zeros_like(b)
+    r = b
+    z = minv_apply(r)
+    pvec = z
+    rz = jnp.vdot(r, z)
+
+    def step(carry, _):
+        x, r, pvec, rz = carry
+        ap = apply(pvec)
+        denom = jnp.vdot(pvec, ap)
+        alpha = jnp.where(jnp.abs(denom) > 1e-30, rz / denom, 0.0)
+        x = x + alpha * pvec
+        r = r - alpha * ap
+        z = minv_apply(r)
+        rz_new = jnp.vdot(r, z)
+        beta = jnp.where(jnp.abs(rz) > 1e-30, rz_new / rz, 0.0)
+        pvec = z + beta * pvec
+        return (x, r, pvec, rz_new), None
+
+    (x, _, _, _), _ = jax.lax.scan(step, (x, r, pvec, rz), None, length=iters)
+    return x
+
+
+def reduced_system_cg(p: BAProblem, r, jc, jp, damping, iters: int,
+                      axis_name=None):
+    """Solve the Schur-reduced camera system matrix-free with block-Jacobi
+    preconditioned CG -- the large-window path.
+
+    The dense path (schur_reduce) materialises W as (P, C*6, 3) and S as
+    (6C, 6C): O(P C) memory and O((6C)^3) solve, fine for windowed BA
+    (C <= 16) but a ceiling for global BA at keyframe_capacity 256+.
+    Here S x is applied from per-OBSERVATION terms only:
+
+        S x = (H_cc + lambda I) x - sum_o J_c^T J_p Hpp^{-1} [sum_o' J_p^T J_c x]
+
+    i.e. two segment_sums per CG iteration, O(O) memory, never forming W
+    or S. Preconditioner: per-camera 6x6 blocks of (H_cc + lambda I),
+    inverted once per LM iteration. With `axis_name`, observation/landmark
+    shards psum the camera-sized vectors (the same distributed Schur
+    reduction as the dense path, but per CG iteration).
+
+    Returns (dc_flat (6C,), hpp_inv, bp) -- the latter two for landmark
+    back-substitution (shard-local, exactly as the dense path).
+    """
+    C = p.R.shape[0]
+    P = p.points.shape[0]
+
+    def allsum(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+    hcc = jax.ops.segment_sum(
+        jnp.einsum("oki,okj->oij", jc, jc), p.obs_cam, num_segments=C)
+    bc = jax.ops.segment_sum(
+        -jnp.einsum("oki,ok->oi", jc, r), p.obs_cam, num_segments=C)
+    hpp = jax.ops.segment_sum(
+        jnp.einsum("oki,okj->oij", jp, jp), p.obs_pt, num_segments=P)
+    bp = jax.ops.segment_sum(
+        -jnp.einsum("oki,ok->oi", jp, r), p.obs_pt, num_segments=P)
+    hcc = allsum(hcc)
+    bc = allsum(bc)
+    hpp_inv = _adjugate_inv3(hpp, damping)  # (P, 3, 3) shard-local
+
+    pin = ~p.cam_valid | (jnp.arange(C) == 0)  # gauge + invalid cameras
+
+    def cams_from_points(z):
+        """(P, 3) landmark-space vector -> (C, 6) camera accumulation."""
+        w = jnp.einsum("oki,oi->ok", jp, z[p.obs_pt])     # (O, 2)
+        c = jnp.einsum("oki,ok->oi", jc, w)               # (O, 6)
+        return allsum(jax.ops.segment_sum(c, p.obs_cam, num_segments=C))
+
+    def points_from_cams(x):
+        """(C, 6) camera vector -> (P, 3) landmark accumulation W^T x."""
+        u = jnp.einsum("oki,oi->ok", jc, x[p.obs_cam])    # (O, 2)
+        v = jnp.einsum("oki,ok->oi", jp, u)               # (O, 3)
+        return jax.ops.segment_sum(v, p.obs_pt, num_segments=P)
+
+    def apply(x_flat):
+        x = jnp.where(pin[:, None], 0.0, x_flat.reshape(C, 6))
+        y = points_from_cams(x)                           # (P, 3) local
+        z = jnp.einsum("pij,pj->pi", hpp_inv, y)
+        out = (jnp.einsum("cij,cj->ci", hcc, x) + damping * x
+               - cams_from_points(z))
+        out = jnp.where(pin[:, None], x_flat.reshape(C, 6), out)
+        return out.reshape(-1)
+
+    # block-Jacobi preconditioner from (H_cc + lambda I) camera blocks
+    blocks = hcc + damping * jnp.eye(6, dtype=hcc.dtype)
+    blocks = jnp.where(pin[:, None, None], jnp.eye(6, dtype=hcc.dtype),
+                       blocks)
+    binv = jnp.linalg.inv(blocks)                         # (C, 6, 6)
+
+    def minv(r_flat):
+        return jnp.einsum("cij,cj->ci", binv,
+                          r_flat.reshape(C, 6)).reshape(-1)
+
+    z0 = jnp.einsum("pij,pj->pi", hpp_inv, bp)
+    b = bc - cams_from_points(z0)
+    b = jnp.where(pin[:, None], 0.0, b).reshape(-1)
+    dc_flat = _pcg(apply, minv, b, iters)
+    return dc_flat, hpp_inv, bp, points_from_cams
+
+
 def ba_cost(p: BAProblem):
     r, _, _, w = residuals_and_jacobians(p)
     return jnp.sum(r * r), jnp.sum(w)
@@ -180,9 +290,16 @@ def _apply_update(p: BAProblem, dc, dp, pt_valid):
     return p._replace(R=Rn, t=tn, points=Xn)
 
 
-def ba_iterations(p: BAProblem, iters: int, damping: float, axis_name=None):
+def ba_iterations(p: BAProblem, iters: int, damping: float, axis_name=None,
+                  solver: str = "dense", cg_iters: int = 64):
     """LM iteration loop, optionally distributed over `axis_name` (landmark/
-    observation shards; poses replicated). Pure function, jit/shard_map-safe."""
+    observation shards; poses replicated). Pure function, jit/shard_map-safe.
+
+    solver="dense" factorises the (6C, 6C) reduced camera matrix
+    (schur_reduce); "cg" solves it matrix-free from per-observation terms
+    (reduced_system_cg) -- same answers within CG tolerance, O(O) memory,
+    the path for global BA at large keyframe capacity."""
+    assert solver in ("dense", "cg")
 
     def allsum(x):
         return jax.lax.psum(x, axis_name) if axis_name is not None else x
@@ -191,14 +308,22 @@ def ba_iterations(p: BAProblem, iters: int, damping: float, axis_name=None):
         prob, lam = carry
         r, jc, jp, wmask = residuals_and_jacobians(prob)
         cost0 = allsum(jnp.sum(r * r))
-        hcc, bc, hpp, bp, w = gn_normal_blocks(prob, r, jc, jp)
-        s, b, hpp_inv, wf = schur_reduce(
-            hcc, bc, hpp, bp, w, lam, prob.cam_valid, axis_name=axis_name)
-        dc_flat = jnp.linalg.solve(s, b)
-        dc = dc_flat.reshape(-1, 6)
-        # back-substitute landmarks: dp = Hpp^{-1} (b_p - W^T dc), local shard
-        dp = jnp.einsum("pij,pj->pi", hpp_inv,
-                        bp - jnp.einsum("pik,i->pk", wf, dc_flat))
+        if solver == "cg":
+            dc_flat, hpp_inv, bp, points_from_cams = reduced_system_cg(
+                prob, r, jc, jp, lam, cg_iters, axis_name=axis_name)
+            dc = dc_flat.reshape(-1, 6)
+            dp = jnp.einsum("pij,pj->pi", hpp_inv,
+                            bp - points_from_cams(dc))
+        else:
+            hcc, bc, hpp, bp, w = gn_normal_blocks(prob, r, jc, jp)
+            s, b, hpp_inv, wf = schur_reduce(
+                hcc, bc, hpp, bp, w, lam, prob.cam_valid,
+                axis_name=axis_name)
+            dc_flat = jnp.linalg.solve(s, b)
+            dc = dc_flat.reshape(-1, 6)
+            # back-substitute landmarks: dp = Hpp^{-1} (b_p - W^T dc), local
+            dp = jnp.einsum("pij,pj->pi", hpp_inv,
+                            bp - jnp.einsum("pik,i->pk", wf, dc_flat))
         cand = _apply_update(prob, dc, dp, prob.pt_valid)
         r1, _, _, _ = residuals_and_jacobians(cand)
         cost1 = allsum(jnp.sum(r1 * r1))
@@ -214,7 +339,14 @@ def ba_iterations(p: BAProblem, iters: int, damping: float, axis_name=None):
     return prob, {"costs": costs, "final_damping": lam}
 
 
-@partial(jax.jit, static_argnames=("iters",))
-def bundle_adjust(p: BAProblem, iters: int = 8, damping: float = 1e-4):
-    """Run `iters` LM iterations single-device. Returns (problem, info)."""
-    return ba_iterations(p, iters, damping)
+@partial(jax.jit, static_argnames=("iters", "solver", "cg_iters"))
+def bundle_adjust(p: BAProblem, iters: int = 8, damping: float = 1e-4,
+                  solver: str = "auto", cg_iters: int = 64):
+    """Run `iters` LM iterations single-device. Returns (problem, info).
+
+    solver="auto" picks the dense Schur factorisation for windowed sizes
+    and matrix-free CG above 48 cameras (where the dense path's (P, C*6, 3)
+    W tensor and O((6C)^3) factorisation stop scaling)."""
+    if solver == "auto":
+        solver = "cg" if p.R.shape[0] > 48 else "dense"
+    return ba_iterations(p, iters, damping, solver=solver, cg_iters=cg_iters)

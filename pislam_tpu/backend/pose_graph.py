@@ -107,34 +107,97 @@ def _numerical_jacobians(g: PoseGraph, eps: float = 1e-5):
     return ji * m, jj * m, r0 * g.edge_valid[:, None]
 
 
-@partial(jax.jit, static_argnames=("iters",))
-def optimize(g: PoseGraph, iters: int = 10, damping: float = 1e-4):
-    """Damped GN iterations; node 0 gauge-fixed. Returns (graph, costs)."""
+def _solve_normal_dense(graph, ji, jj, r, damping, n):
+    """Assemble + factorise the dense (6N, 6N) normal equations."""
+    h = jnp.zeros((n, 6, n, 6))
+    b = jnp.zeros((n, 6))
+    hii = jnp.einsum("mki,mkj->mij", ji, ji)
+    hjj = jnp.einsum("mki,mkj->mij", jj, jj)
+    hij = jnp.einsum("mki,mkj->mij", ji, jj)
+    bi = -jnp.einsum("mki,mk->mi", ji, r)
+    bj = -jnp.einsum("mki,mk->mi", jj, r)
+    h = h.at[graph.edge_i, :, graph.edge_i, :].add(hii)
+    h = h.at[graph.edge_j, :, graph.edge_j, :].add(hjj)
+    h = h.at[graph.edge_i, :, graph.edge_j, :].add(hij)
+    h = h.at[graph.edge_j, :, graph.edge_i, :].add(
+        jnp.swapaxes(hij, -1, -2))
+    b = b.at[graph.edge_i].add(bi).at[graph.edge_j].add(bj)
+
+    hd = h.reshape(6 * n, 6 * n) + damping * jnp.eye(6 * n)
+    bd = b.reshape(-1)
+    pin = jnp.repeat(~graph.node_valid | (jnp.arange(n) == 0), 6)
+    hd = jnp.where(pin[:, None] | pin[None, :], jnp.eye(6 * n), hd)
+    bd = jnp.where(pin, 0.0, bd)
+    return jnp.linalg.solve(hd, bd).reshape(n, 6)
+
+
+def _solve_normal_cg(graph, ji, jj, r, damping, n, cg_iters):
+    """Matrix-free block-Jacobi PCG on the same normal equations.
+
+    The dense path materialises (6N)^2 and factorises in O((6N)^3) --
+    fine for windowed graphs, a ceiling for keyframe_capacity 256+. Here
+    H x is applied per edge (two einsums + two segment_sums), O(M) memory;
+    the per-node 6x6 diagonal blocks are inverted once per GN step as the
+    preconditioner (pose graphs are chain-dominated, so block-Jacobi PCG
+    converges in O(graph diameter) iterations).
+    """
+    from .ba import _pcg
+
+    pinned = ~graph.node_valid | (jnp.arange(n) == 0)
+
+    blocks = jnp.zeros((n, 6, 6))
+    blocks = blocks.at[graph.edge_i].add(jnp.einsum("mki,mkj->mij", ji, ji))
+    blocks = blocks.at[graph.edge_j].add(jnp.einsum("mki,mkj->mij", jj, jj))
+    blocks = blocks + damping * jnp.eye(6)
+    blocks = jnp.where(pinned[:, None, None], jnp.eye(6), blocks)
+    binv = jnp.linalg.inv(blocks)
+
+    b = jnp.zeros((n, 6))
+    b = b.at[graph.edge_i].add(-jnp.einsum("mki,mk->mi", ji, r))
+    b = b.at[graph.edge_j].add(-jnp.einsum("mki,mk->mi", jj, r))
+    b = jnp.where(pinned[:, None], 0.0, b).reshape(-1)
+
+    def apply(x_flat):
+        x = jnp.where(pinned[:, None], 0.0, x_flat.reshape(n, 6))
+        y = (jnp.einsum("mki,mi->mk", ji, x[graph.edge_i])
+             + jnp.einsum("mki,mi->mk", jj, x[graph.edge_j]))  # (M, 6)
+        out = jnp.zeros((n, 6))
+        out = out.at[graph.edge_i].add(jnp.einsum("mki,mk->mi", ji, y))
+        out = out.at[graph.edge_j].add(jnp.einsum("mki,mk->mi", jj, y))
+        out = out + damping * x
+        out = jnp.where(pinned[:, None], x_flat.reshape(n, 6), out)
+        return out.reshape(-1)
+
+    def minv(r_flat):
+        return jnp.einsum("nij,nj->ni", binv,
+                          r_flat.reshape(n, 6)).reshape(-1)
+
+    return _pcg(apply, minv, b, cg_iters).reshape(n, 6)
+
+
+@partial(jax.jit, static_argnames=("iters", "solver", "cg_iters"))
+def optimize(g: PoseGraph, iters: int = 10, damping: float = 1e-4,
+             solver: str = "auto", cg_iters: int = 0):
+    """Damped GN iterations; node 0 gauge-fixed. Returns (graph, costs).
+
+    solver="auto" uses the dense factorisation up to 64 nodes and
+    matrix-free block-Jacobi PCG above (same answers within CG tolerance;
+    O(M) memory instead of O((6N)^2)). cg_iters=0 defaults to
+    max(128, N): block-Jacobi PCG needs ~graph-diameter iterations to
+    propagate a loop correction along a chain-dominated graph."""
     n = g.R.shape[0]
+    if solver == "auto":
+        solver = "cg" if n > 64 else "dense"
+    if not cg_iters:
+        cg_iters = max(128, n)
+    assert solver in ("dense", "cg")
 
     def step(graph, _):
         ji, jj, r = _analytic_jacobians(graph)
-        # dense normal equations over (6N)
-        h = jnp.zeros((n, 6, n, 6))
-        b = jnp.zeros((n, 6))
-        hii = jnp.einsum("mki,mkj->mij", ji, ji)
-        hjj = jnp.einsum("mki,mkj->mij", jj, jj)
-        hij = jnp.einsum("mki,mkj->mij", ji, jj)
-        bi = -jnp.einsum("mki,mk->mi", ji, r)
-        bj = -jnp.einsum("mki,mk->mi", jj, r)
-        h = h.at[graph.edge_i, :, graph.edge_i, :].add(hii)
-        h = h.at[graph.edge_j, :, graph.edge_j, :].add(hjj)
-        h = h.at[graph.edge_i, :, graph.edge_j, :].add(hij)
-        h = h.at[graph.edge_j, :, graph.edge_i, :].add(
-            jnp.swapaxes(hij, -1, -2))
-        b = b.at[graph.edge_i].add(bi).at[graph.edge_j].add(bj)
-
-        hd = h.reshape(6 * n, 6 * n) + damping * jnp.eye(6 * n)
-        bd = b.reshape(-1)
-        pin = jnp.repeat(~graph.node_valid | (jnp.arange(n) == 0), 6)
-        hd = jnp.where(pin[:, None] | pin[None, :], jnp.eye(6 * n), hd)
-        bd = jnp.where(pin, 0.0, bd)
-        delta = jnp.linalg.solve(hd, bd).reshape(n, 6)
+        if solver == "cg":
+            delta = _solve_normal_cg(graph, ji, jj, r, damping, n, cg_iters)
+        else:
+            delta = _solve_normal_dense(graph, ji, jj, r, damping, n)
         dR, dt = se3.se3_exp(delta)
         Rn = dR @ graph.R
         tn = (dR @ graph.t[..., None])[..., 0] + dt

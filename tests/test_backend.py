@@ -435,3 +435,53 @@ def test_compact_map_repacks_and_remaps():
     assert after == before
     # compacted indices are in range of the new cursor
     assert (np.asarray(obs2.lm)[ov2] < n_lm).all()
+
+
+# ---- matrix-free CG solvers (the large-window path) ------------------------
+
+
+def test_ba_cg_matches_dense():
+    """CG-solved LM iterations track the dense Schur path on the same
+    problem: both reach the noise-free optimum, and the per-iteration
+    camera deltas agree to CG tolerance."""
+    prob, (Rs, ts, X) = synthetic_ba(nc=6, npts=80, pose_noise=0.05)
+    dense, _ = ba.bundle_adjust(prob, iters=8, solver="dense")
+    cg, _ = ba.bundle_adjust(prob, iters=8, solver="cg", cg_iters=64)
+    cost_d, _ = ba.ba_cost(dense)
+    cost_c, _ = ba.ba_cost(cg)
+    assert float(cost_d) < 1e-8
+    assert float(cost_c) < 1e-8
+    np.testing.assert_allclose(np.asarray(cg.R), np.asarray(dense.R),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cg.t), np.asarray(dense.t),
+                               atol=1e-4)
+
+
+def test_ba_cg_scales_to_256_cameras():
+    """global_ba at keyframe_capacity 256: the dense path would build a
+    (P, 1536, 3) W tensor and factorise (1536)^2; the CG path must solve
+    it matrix-free and still converge on a noise-free problem."""
+    prob, _ = synthetic_ba(nc=256, npts=512, pose_noise=0.02,
+                           point_noise=0.05, seed=3)
+    out, info = ba.bundle_adjust(prob, iters=6, solver="cg", cg_iters=96)
+    cost, nobs = ba.ba_cost(out)
+    # mean reprojection residual below 1e-4 (noise-free observations)
+    assert float(cost) / float(nobs) < 1e-8
+
+
+def test_pose_graph_cg_matches_dense():
+    g, _ = _random_graph(n=12, m_loop=3, seed=11, noise=0.15)
+    gd, costs_d = pose_graph.optimize(g, iters=10, solver="dense")
+    gc, costs_c = pose_graph.optimize(g, iters=10, solver="cg", cg_iters=128)
+    assert float(costs_d[-1]) < 1e-9
+    assert float(costs_c[-1]) < 1e-9
+    np.testing.assert_allclose(np.asarray(gc.R), np.asarray(gd.R), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gc.t), np.asarray(gd.t), atol=1e-4)
+
+
+def test_pose_graph_cg_large_chain():
+    """256-node chain + loops converges through the CG path (auto-selected
+    above 64 nodes)."""
+    g, _ = _random_graph(n=256, m_loop=8, seed=2, noise=0.05)
+    g2, costs = pose_graph.optimize(g, iters=12)  # auto -> cg, 256 cg iters
+    assert float(costs[-1]) < 1e-4
