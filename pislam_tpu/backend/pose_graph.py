@@ -16,7 +16,7 @@ for pose graphs; exact enough near convergence, iterated otherwise).
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +33,19 @@ class PoseGraph(NamedTuple):
     edge_t: jax.Array     # (M, 3)
     edge_valid: jax.Array  # (M,) bool
     node_valid: jax.Array  # (N,) bool
+    # Optional (M,) per-edge information weights (scalar isotropic
+    # information matrices): residual m contributes w_m * |r_m|^2. The
+    # ORB-SLAM essential graph weights edges by match support; an
+    # equal-weight graph lets N-1 odometry edges outvote one correct loop
+    # edge, which is the textbook cause of loop over/under-correction.
+    # None = all ones (backward compatible).
+    edge_weight: Optional[jax.Array] = None
+
+
+def _edge_weights(g: PoseGraph):
+    if g.edge_weight is None:
+        return jnp.ones(g.edge_i.shape[0], jnp.float32)
+    return g.edge_weight.astype(jnp.float32)
 
 
 def edge_residuals(g: PoseGraph):
@@ -70,6 +83,11 @@ def _analytic_jacobians(g: PoseGraph):
         g.R[g.edge_i], g.t[g.edge_i], g.R[g.edge_j], g.t[g.edge_j],
         g.edge_R, g.edge_t)  # (M, 6, 12)
     r0 = edge_residuals(g)
+    # sqrt-information weighting: scaling (J, r) by sqrt(w) puts w into
+    # both the normal matrix (w J^T J) and the gradient (w J^T r)
+    sw = jnp.sqrt(_edge_weights(g))
+    jac = jac * sw[:, None, None]
+    r0 = r0 * sw[:, None]
     m = g.edge_valid[:, None, None]
     return jac[:, :, :6] * m, jac[:, :, 6:] * m, r0
 
@@ -103,6 +121,9 @@ def _numerical_jacobians(g: PoseGraph, eps: float = 1e-5):
     eye = jnp.eye(6) * eps
     ji = jnp.stack([(perturbed(eye[k], 0) - r0) / eps for k in range(6)], -1)
     jj = jnp.stack([(perturbed(eye[k], 1) - r0) / eps for k in range(6)], -1)
+    sw = jnp.sqrt(_edge_weights(g))
+    ji, jj, r0 = ji * sw[:, None, None], jj * sw[:, None, None], \
+        r0 * sw[:, None]
     m = g.edge_valid[:, None, None]
     return ji * m, jj * m, r0 * g.edge_valid[:, None]
 
@@ -202,7 +223,8 @@ def optimize(g: PoseGraph, iters: int = 10, damping: float = 1e-4,
         Rn = dR @ graph.R
         tn = (dR @ graph.t[..., None])[..., 0] + dt
         new = graph._replace(R=Rn, t=tn)
-        cost = jnp.sum(edge_residuals(new) ** 2)
+        cost = jnp.sum(_edge_weights(new)[:, None]
+                       * edge_residuals(new) ** 2)
         return new, cost
 
     g, costs = jax.lax.scan(step, g, None, length=iters)

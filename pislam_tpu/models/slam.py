@@ -924,7 +924,7 @@ class KeyframeSLAM:
         if exclude_covisible_weight > 0:
             excl = self.covisibility()[cur_slot] >= exclude_covisible_weight
         with m.timer("loop_detect"):
-            idx, R_rel, t_unit, _ = self.match_keyframe(
+            idx, R_rel, t_unit, n_sup = self.match_keyframe(
                 feats_like, pts, exclude_recent=exclude_recent,
                 min_matches=min_matches, exclude_slots=excl)
         if idx < 0:
@@ -950,13 +950,14 @@ class KeyframeSLAM:
             old_slot, desc, kvalid, pts, R_meas, t_meas,
             min_inliers=max(self.cfg.map.min_map_inliers, min_matches // 2))
         if pnp_pose is not None:
-            R_meas, t_meas = pnp_pose[0], pnp_pose[1]
+            R_meas, t_meas, n_sup = pnp_pose
             m.count("loop_edges_metric")
         R_edge = R_old.T @ R_meas
         t_edge = R_old.T @ (t_meas - t_old)
         with m.timer("pose_graph"):
             self.optimise_pose_graph(
-                loop_edges=[(idx, self._num_kf - 1, R_edge, t_edge)])
+                loop_edges=[(idx, self._num_kf - 1, R_edge, t_edge,
+                             float(n_sup))])
         m.count("loops_closed")
         return idx
 
@@ -1143,7 +1144,25 @@ class KeyframeSLAM:
     def optimise_pose_graph(self, loop_edges=()):
         """Global pose-graph GN over stored keyframes: sequential odometry
         edges (from current poses) plus `loop_edges` =
-        [(ordinal_i, ordinal_j, R_ij, t_ij), ...] relative constraints."""
+        [(ordinal_i, ordinal_j, R_ij, t_ij[, weight]), ...] relative
+        constraints.
+
+        Edges carry scalar information weights (the ORB-SLAM essential
+        graph weights edges by match support): odometry edges by the
+        shared-landmark count of their keyframe pair (covisibility), loop
+        edges by their measurement's inlier count. An equal-weight graph
+        lets N-1 odometry edges outvote one correct loop edge.
+
+        After the graph moves the keyframes, every landmark is transported
+        with its ANCHOR keyframe (its earliest in-graph observer): the
+        landmark keeps its camera-frame coordinates through the correction,
+            X' = R1^T (R0 X + t0 - t1).
+        Without this step the reprojection residuals still encode the
+        pre-closure geometry and a subsequent global BA pulls the keyframes
+        straight back (measured on eval_seq2: post-BA keyframe ATE was
+        bit-identical to pre-closure) -- this is ORB-SLAM's loop-correction
+        map-point transport, re-expressed batched.
+        """
         views = self.keyframes
         n = len(views)
         if n < 2:
@@ -1159,13 +1178,22 @@ class KeyframeSLAM:
         ej = list(range(1, n))
         eR = [np.asarray(Rij)]
         et = [np.asarray(tij)]
+        # odometry edge weights: shared-landmark counts (covisibility),
+        # clamped to >= 1 so a zero-covisibility pair keeps its odometry
+        # constraint instead of dropping out of the graph
+        covis = self.covisibility()
+        ew = [max(1.0, float(covis[slots[k], slots[k + 1]]))
+              for k in range(n - 1)]
         extra_R, extra_t = [], []
-        for (i, j, Rl, tl) in loop_edges:
+        for edge in loop_edges:
+            i, j, Rl, tl = edge[:4]
+            wl = float(edge[4]) if len(edge) > 4 else 1.0
             if i not in node_of_ordinal or j not in node_of_ordinal:
                 continue
             ei.append(node_of_ordinal[i]); ej.append(node_of_ordinal[j])
             extra_R.append(np.asarray(Rl, np.float32))
             extra_t.append(np.asarray(tl, np.float32))
+            ew.append(max(1.0, wl))
         if extra_R:
             eR.append(np.stack(extra_R)); et.append(np.stack(extra_t))
         g = pose_graph.PoseGraph(
@@ -1174,13 +1202,38 @@ class KeyframeSLAM:
             edge_R=jnp.asarray(np.concatenate(eR)),
             edge_t=jnp.asarray(np.concatenate(et)),
             edge_valid=jnp.ones(len(ei), bool),
-            node_valid=jnp.ones(n, bool))
+            node_valid=jnp.ones(n, bool),
+            edge_weight=jnp.asarray(np.float32(ew)))
         g2, _ = pose_graph.optimize(g, iters=8, damping=1e-5)
         st = self._st
         sl = jnp.asarray(slots)
         store = st.store._replace(R=st.store.R.at[sl].set(g2.R),
                                   t=st.store.t.at[sl].set(g2.t))
-        self._st = st._replace(store=store)
+
+        # transport landmarks with their anchor keyframe's correction
+        obs_kf = np.asarray(st.obs.kf)
+        obs_lm = np.asarray(st.obs.lm)
+        obs_valid = np.asarray(st.obs.valid)
+        node_of_slot = np.full(self.capacity, -1, np.int64)
+        node_of_slot[slots] = np.arange(n)
+        rows = obs_valid & (node_of_slot[obs_kf] >= 0)
+        L = int(st.lmap.xyz.shape[0])
+        anchor = np.full(L, n, np.int64)  # n = "no in-graph observer"
+        np.minimum.at(anchor, obs_lm[rows], node_of_slot[obs_kf[rows]])
+        lm_rows = np.where(np.asarray(st.lmap.valid) & (anchor < n))[0]
+        lmap = st.lmap
+        if lm_rows.size:
+            a = anchor[lm_rows]
+            R0, t0 = np.asarray(R)[a], np.asarray(t)[a]
+            R1, t1 = np.asarray(g2.R)[a], np.asarray(g2.t)[a]
+            X = np.asarray(st.lmap.xyz)[lm_rows]
+            xc = np.einsum("nij,nj->ni", R0, X) + t0
+            Xn = np.einsum("nji,nj->ni", R1, xc - t1).astype(np.float32)
+            lmap = st.lmap._replace(
+                xyz=st.lmap.xyz.at[jnp.asarray(lm_rows)].set(
+                    jnp.asarray(Xn)))
+
+        self._st = st._replace(store=store, lmap=lmap)
         self._cache_last((self._num_kf - 1) % self.capacity)
 
     # -- introspection ------------------------------------------------------
