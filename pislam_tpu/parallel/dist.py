@@ -395,12 +395,20 @@ def shard_ba_problem(p: ba.BAProblem, n_shards: int) -> ba.BAProblem:
 
 
 def make_distributed_ba(mesh: Mesh, iters: int = 8, damping: float = 1e-4,
-                        axis: str = "model"):
+                        axis: str = "model", solver: str = "dense",
+                        cg_iters: int = 64):
     """Jitted model-parallel bundle adjustment over `mesh`.
 
     Expects a problem laid out by shard_ba_problem(n_shards=mesh axis size):
     points/observations sharded on their leading dim, poses replicated.
     The Schur reduction runs as psums over the axis (backend/ba.py).
+
+    solver="dense" factorises the replicated (6C, 6C) reduced camera matrix
+    after one psum per LM iteration; "cg" never materialises W or S --
+    reduced_system_cg applies S x from shard-local per-observation terms
+    and psums only the (C, 6) camera-sized vectors per CG iteration, the
+    pod-scale global-BA path at large keyframe capacity (the dense path's
+    (P, C*6, 3) W tensor and O((6C)^3) factorisation stop scaling there).
     """
     shard = P(axis)
     shard2 = P(axis, None)
@@ -413,7 +421,8 @@ def make_distributed_ba(mesh: Mesh, iters: int = 8, damping: float = 1e-4,
     out_specs = (in_specs, {"costs": rep, "final_damping": rep})
 
     def local(prob):
-        return ba.ba_iterations(prob, iters, damping, axis_name=axis)
+        return ba.ba_iterations(prob, iters, damping, axis_name=axis,
+                                solver=solver, cg_iters=cg_iters)
 
     @jax.jit
     def run(prob: ba.BAProblem):

@@ -43,6 +43,48 @@ def test_distributed_ba_matches_single():
                                np.asarray(info_s["costs"]), rtol=1e-3)
 
 
+def test_distributed_ba_cg_matches_single():
+    """The matrix-free CG solver through the distributed path: psums of
+    (C, 6) camera vectors PER CG ITERATION instead of one (6C, 6C) psum +
+    dense factorisation. Must match the single-device CG result."""
+    prob, _ = synthetic_ba(nc=4, npts=64, seed=5, pad_obs=64)
+    single, info_s = ba.bundle_adjust(prob, iters=6, damping=1e-3,
+                                      solver="cg", cg_iters=64)
+
+    m = meshmod.make_mesh(MeshConfig(data_parallel=2, model_parallel=4))
+    sharded = dist.shard_ba_problem(prob, 4)
+    run = dist.make_distributed_ba(m, iters=6, damping=1e-3,
+                                   solver="cg", cg_iters=64)
+    out, info_d = run(sharded)
+
+    np.testing.assert_allclose(np.asarray(out.R), np.asarray(single.R),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.t), np.asarray(single.t),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(info_d["costs"]),
+                               np.asarray(info_s["costs"]), rtol=1e-3)
+
+
+def test_distributed_ba_cg_256_cameras():
+    """Pod-scale global BA: 256 cameras, landmarks/observations sharded
+    over an 8-way model axis, solved matrix-free (the dense path would
+    materialise the (P, 1536, 3) W tensor per shard and factorise
+    (1536)^2 -- the exact ceiling the CG path lifts). Noise-free problem
+    must converge through the per-CG-iteration psum reduction."""
+    prob, _ = synthetic_ba(nc=256, npts=256, pose_noise=0.02,
+                           point_noise=0.05, seed=3)
+    m = meshmod.make_mesh(MeshConfig(data_parallel=1, model_parallel=8))
+    sharded = dist.shard_ba_problem(prob, 8)
+    run = dist.make_distributed_ba(m, iters=6, damping=1e-4,
+                                   solver="cg", cg_iters=96)
+    out, info = run(sharded)
+    cost, nobs = ba.ba_cost(prob)   # pre-optimisation cost for contrast
+    cost1, _ = ba.ba_cost(out._replace(
+        obs_valid=prob.obs_valid, obs_cam=prob.obs_cam,
+        obs_pt=prob.obs_pt, obs_uv=prob.obs_uv))
+    assert float(cost1) / float(nobs) < 1e-8, (float(cost), float(cost1))
+
+
 def test_data_parallel_extraction_matches_single():
     pyr = PyramidConfig(base_width=96, base_height=80, num_levels=2)
     fe = FrontendConfig(fast_threshold=20, harris_threshold=1 << 10,
