@@ -143,6 +143,13 @@ class VOConfig:
     sample_size: int = 8  # 8-point algorithm
     inlier_threshold: float = 1.5e-3  # Sampson distance in normalised coords
     min_inliers: int = 15
+    # motion-continuity guard: a keyframe-relative rotation exceeding this
+    # angle is physically impossible between nearby frames and marks the
+    # solve LOST instead of flipping the trajectory (a near-180 degree
+    # mirror solution with high inlier support was measured on
+    # self-similar texture: eval_seq3 frame 45, rot_err 10 -> 175 deg).
+    # 0 disables.
+    max_rel_rotation_deg: float = 60.0
 
 
 @dataclasses.dataclass(frozen=True)

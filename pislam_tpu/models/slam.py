@@ -390,6 +390,18 @@ class KeyframeSLAM:
                     and np.isfinite(np.asarray(out["t"])).all()):
                 m.count("nonfinite_poses")
                 lost = True
+        max_rot = self.cfg.vo.max_rel_rotation_deg
+        if not lost and max_rot > 0:
+            # motion-continuity guard: the keyframe is at most a few frames
+            # old, so a large relative rotation is a mirror/flipped RANSAC
+            # solution (measured: a ~175 deg flip with 122 "inliers" on
+            # self-similar texture), not motion. Mark it LOST; the
+            # relocaliser recovers the pose if the scene really cut.
+            cosang = (np.trace(np.asarray(out["R"])) - 1.0) / 2.0
+            ang = np.degrees(np.arccos(np.clip(cosang, -1.0, 1.0)))
+            if ang > max_rot:
+                m.count("rotation_jumps_rejected")
+                lost = True
         relocalised = False
         n_map = 0
         map_idx = jnp.full(pts.shape[0], -1, jnp.int32)

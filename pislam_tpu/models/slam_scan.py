@@ -109,6 +109,12 @@ def make_slam_track_scan(cfg: PislamConfig, fx: float, fy: float,
             # solve emitting a non-finite pose is LOST, not trajectory
             lost |= ~(jnp.all(jnp.isfinite(out["R"]))
                       & jnp.all(jnp.isfinite(out["t"])))
+            if vc.max_rel_rotation_deg > 0:
+                # motion-continuity guard (matches the host loop): reject
+                # mirror/flipped RANSAC solutions as LOST
+                cosang = (jnp.trace(out["R"]) - 1.0) / 2.0
+                ang = jnp.degrees(jnp.arccos(jnp.clip(cosang, -1.0, 1.0)))
+                lost |= ang > vc.max_rel_rotation_deg
             trel = out["t"] / jnp.maximum(jnp.linalg.norm(out["t"]), 1e-9)
             R = out["R"] @ store.R[slot]
             t = (out["R"] @ store.t[slot][:, None])[:, 0] + trel

@@ -85,6 +85,13 @@ def vo_step(mc, vc, state: VOState, feats: Features, pts):
         sub, p1, p2, ok, iters=vc.ransac_iters,
         inlier_threshold=vc.inlier_threshold)
     good = out["num_inliers"] >= vc.min_inliers
+    if vc.max_rel_rotation_deg > 0:
+        # motion-continuity guard (matches models/slam.py): a huge
+        # frame-to-frame rotation is a mirror/flipped RANSAC solution on
+        # self-similar texture, not motion -- hold the pose instead
+        cosang = (jnp.trace(out["R"]) - 1.0) / 2.0
+        ang = jnp.degrees(jnp.arccos(jnp.clip(cosang, -1.0, 1.0)))
+        good &= ang <= vc.max_rel_rotation_deg
     # relative pose cam1->cam2 (unit translation); world->cam chains:
     # T_w2 = T_12 o T_w1
     tnorm = out["t"] / jnp.maximum(

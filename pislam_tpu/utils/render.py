@@ -29,16 +29,28 @@ class PlaneScene:
     def __init__(self, width: int = 384, height: int = 256,
                  fx: float = 256.0, fy: float = 256.0,
                  z_bg: float = 8.0, z_fg: float = 4.0,
-                 margin: int = 160, seed: int = 0):
+                 margin: int = 160, seed: int = 0, textures=None):
+        """``textures`` = (bg, fg) uint8 arrays of shape
+        (height + 2*margin, width + 2*margin) to render REAL image content
+        (e.g. crops of the reference demo photo) instead of the procedural
+        block pattern; None keeps the seeded procedural textures."""
         self.w, self.h = width, height
         self.fx, self.fy = fx, fy
         self.cx, self.cy = width / 2.0, height / 2.0
         self.z_bg, self.z_fg = z_bg, z_fg
         self.margin = margin
-        self.bg = blocky_texture(height + 2 * margin, width + 2 * margin,
-                                 seed * 2 + 1)
-        self.fg = blocky_texture(height + 2 * margin, width + 2 * margin,
-                                 seed * 2 + 2)
+        if textures is None:
+            self.bg = blocky_texture(height + 2 * margin,
+                                     width + 2 * margin, seed * 2 + 1)
+            self.fg = blocky_texture(height + 2 * margin,
+                                     width + 2 * margin, seed * 2 + 2)
+        else:
+            bg, fg = textures
+            want = (height + 2 * margin, width + 2 * margin)
+            assert bg.shape == want and fg.shape == want, \
+                (bg.shape, fg.shape, want)
+            self.bg = np.asarray(bg, np.uint8)
+            self.fg = np.asarray(fg, np.uint8)
 
     def render(self, roll_rad: float, sx: float, dz: float) -> np.ndarray:
         """One (H, W) uint8 frame at camera centre (sx, 0, dz), roll about

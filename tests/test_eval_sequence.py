@@ -1,12 +1,19 @@
-"""The committed evaluation sequence: loop closure must fire and help.
+"""The committed evaluation sequences: loop closure must fire and help.
 
-data/eval_seq.npz is a 48-frame out-and-back loop rendered by
-tools/make_eval_sequence.py (deterministic); tools/eval_ate.py publishes the
-README ATE numbers from it. This test pins the behaviours those numbers rest
-on: the artifact is intact, keyframe SLAM tracks it, the final view closes
-the loop against an early keyframe, and the pose-graph correction moves the
-keyframe trajectory towards ground truth (the reference has no trajectory
-layer at all -- frontend-only, README.md:22).
+data/eval_seq.npz (tuning), data/eval_seq2.npz and data/eval_seq3.npz
+(held-out) are rendered by tools/make_eval_sequence.py from REAL image
+content (crops of /root/reference/demo/input.png level 0 -- the
+reference's de-facto fixture) over the two-plane scene; tools/eval_ate.py
+publishes the README ATE numbers from them. These tests pin the
+behaviours those numbers rest on: the artifacts are intact, keyframe SLAM
+tracks them, the final view closes the loop against an early keyframe,
+and the FULL closure pipeline (weighted pose graph + landmark transport +
+global BA + cull, as the service runs it) measurably improves the
+keyframe trajectory -- including on the held-out sequences the config was
+never tuned on. A closure that becomes a no-op again fails
+test_held_out_sequence_slam's strict-improvement pin (the round-3 verdict
+item). The reference has no trajectory layer at all (frontend-only,
+README.md:22).
 """
 
 import os
@@ -21,18 +28,18 @@ from pislam_tpu.models.slam import KeyframeSLAM
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
-DATA = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "data", "eval_seq.npz")
+DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "data")
 
 
-def test_committed_sequence_slam_with_loop_closure():
+def _run_slam_with_closure(npz_name):
+    """(pre, post, loop, n_kf, gt_path_m): the eval_ate.py pipeline."""
     from eval_ate import slam_config
 
-    d = np.load(DATA)
+    d = np.load(os.path.join(DATA_DIR, npz_name))
     frames, Rs, ts = d["frames"], d["Rs"], d["ts"]
-    assert frames.shape == (48, 256, 384) and frames.dtype == np.uint8
     gt = np.stack([-R.T @ t for R, t in zip(Rs, ts)])
-    # the sequence is a loop: it ends where it started
+    # every sequence is a loop: it ends where it started
     assert np.linalg.norm(gt[-1] - gt[0]) < 1e-6
 
     cfg = slam_config(384, 256)
@@ -41,92 +48,92 @@ def test_committed_sequence_slam_with_loop_closure():
                         keyframe_min_inliers=60, keyframe_max_gap=3)
     for f in frames:
         slam.process(jnp.asarray(f))
-    assert len(slam.keyframes) >= 10
     assert slam.num_landmarks > 500
-
     gtk = gt[np.asarray(slam.keyframe_frames)]
-    pre = ate_rmse(slam.keyframe_positions(), gtk, with_scale=True)
+    pre = ate_rmse(slam.keyframe_positions(), gtk)
     loop = slam.try_close_loop(min_matches=40, exclude_recent=3)
-    post = ate_rmse(slam.keyframe_positions(), gtk, with_scale=True)
-
-    # the returning camera must close against one of the first keyframes
-    assert 0 <= loop <= 2, f"loop closed to ordinal {loop}"
-    # and the pose-graph correction must reduce keyframe ATE
-    assert post < pre, (pre, post)
-    # gate_radius=0.06 map matching: post-closure ATE ~0.045 on this
-    # sequence (was ~0.145 ungated); pin well under the ungated figure
-    assert post < 0.10, f"post-closure keyframe ATE {post:.4f}"
-    # (recorded: pre ~0.189, post ~0.145 on a 3.16 m path)
-
-
-def test_sequence_regenerates_identically():
-    """make_eval_sequence is deterministic: the committed artifact is
-    reproducible (auditable) from the generator."""
-    from make_eval_sequence import FX, FY, H, W, trajectory
-    from pislam_tpu.utils.render import PlaneScene
-
-    d = np.load(DATA)
-    scene = PlaneScene(width=W, height=H, fx=FX, fy=FY, seed=21)
-    rolls, sxs, dzs = trajectory()
-    # spot-check three frames (full regeneration is slow on CI)
-    for i in (0, 17, 47):
-        f, R, t = scene.render_trajectory([rolls[i]], [sxs[i]], [dzs[i]])
-        assert np.array_equal(f[0], d["frames"][i])
-        np.testing.assert_array_equal(R[0], d["Rs"][i])
-        np.testing.assert_array_equal(t[0], d["ts"][i])
-
-
-DATA2 = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "data", "eval_seq2.npz")
-
-
-def test_held_out_sequence_slam():
-    """The HELD-OUT sequence (different scene, two-lobe sweep, stronger
-    roll, deeper dolly): the evaluation config -- including the gate radius
-    tuned on eval_seq -- must generalise, and the full closure pipeline
-    (pose graph + global BA + cull, as the service runs it) must never
-    leave the map worse than before closure."""
-    from eval_ate import slam_config
-
-    d = np.load(DATA2)
-    frames, Rs, ts = d["frames"], d["Rs"], d["ts"]
-    assert frames.shape == (56, 256, 384) and frames.dtype == np.uint8
-    gt = np.stack([-R.T @ t for R, t in zip(Rs, ts)])
-    assert np.linalg.norm(gt[-1] - gt[0]) < 1e-6
-
-    cfg = slam_config(384, 256)
-    slam = KeyframeSLAM(cfg, float(d["fx"]), float(d["fy"]),
-                        float(d["cx"]), float(d["cy"]),
-                        keyframe_min_inliers=60, keyframe_max_gap=3)
-    for f in frames:
-        slam.process(jnp.asarray(f))
-    assert len(slam.keyframes) >= 12
-    assert slam.num_landmarks > 500
-
-    gtk = gt[np.asarray(slam.keyframe_frames)]
-    pre = ate_rmse(slam.keyframe_positions(), gtk, with_scale=True)
-    loop = slam.try_close_loop(min_matches=40, exclude_recent=3)
-    assert 0 <= loop <= 2, f"loop closed to ordinal {loop}"
     if loop >= 0:
         slam.global_ba()
         slam.cull_landmarks()
-    post = ate_rmse(slam.keyframe_positions(), gtk, with_scale=True)
+    post = ate_rmse(slam.keyframe_positions(), gtk)
+    path = float(np.linalg.norm(np.diff(gt, axis=0), axis=1).sum())
+    return pre, post, loop, len(slam.keyframe_frames), path
 
-    # generalisation pins (recorded: pre ~0.154, post-graph ~0.196,
-    # post-global-BA ~0.155 on a 5.33 m path; ungated pre was ~0.209)
-    assert pre < 0.25, f"pre-closure keyframe ATE {pre:.4f}"
-    assert post < pre + 0.02, (pre, post)
+
+def test_committed_sequence_slam_with_loop_closure():
+    d = np.load(os.path.join(DATA_DIR, "eval_seq.npz"))
+    assert d["frames"].shape == (48, 256, 384)
+    assert d["frames"].dtype == np.uint8
+
+    pre, post, loop, n_kf, _ = _run_slam_with_closure("eval_seq.npz")
+    assert n_kf >= 10
+    # the returning camera must close against one of the first keyframes
+    assert 0 <= loop <= 2, f"loop closed to ordinal {loop}"
+    # and the full closure pipeline must reduce keyframe ATE
+    assert post < pre, (pre, post)
+    # recorded: pre ~0.108 -> post ~0.087 on a 3.16 m path
+    assert post < 0.13, f"post-closure keyframe ATE {post:.4f}"
+
+
+def test_held_out_sequence_slam():
+    """The HELD-OUT sequence (different crops, two-lobe sweep, stronger
+    roll, deeper dolly): the evaluation config -- thresholds and gate
+    radius tuned on eval_seq only -- must generalise, and closure must
+    STRICTLY improve the trajectory (not merely 'not regress': the
+    round-3 pin `post < pre + 0.02` passed while closure was a measured
+    no-op)."""
+    d = np.load(os.path.join(DATA_DIR, "eval_seq2.npz"))
+    assert d["frames"].shape == (56, 256, 384)
+
+    pre, post, loop, n_kf, _ = _run_slam_with_closure("eval_seq2.npz")
+    assert n_kf >= 12
+    assert 0 <= loop <= 2, f"loop closed to ordinal {loop}"
+    # recorded: pre ~0.529 -> post ~0.478 on a 5.33 m path
+    assert pre < 0.65, f"pre-closure keyframe ATE {pre:.4f}"
+    assert post < pre - 0.02, (pre, post)
+
+
+def test_high_drift_sequence_slam():
+    """The high-drift closure probe (eval_seq3: ~6.4 m path, 88 frames,
+    held out): tracking must survive the double-length sweep (the
+    motion-continuity guard rejects the ~175-degree mirror flip this
+    sequence exposed) and closure must help."""
+    d = np.load(os.path.join(DATA_DIR, "eval_seq3.npz"))
+    assert d["frames"].shape == (88, 256, 384)
+
+    pre, post, loop, n_kf, path = _run_slam_with_closure("eval_seq3.npz")
+    assert n_kf >= 20
+    assert path > 6.0
+    assert 0 <= loop <= 2, f"loop closed to ordinal {loop}"
+    # recorded: pre ~0.110 -> post ~0.104 (1.6% of path)
+    assert pre < 0.2, f"pre-closure keyframe ATE {pre:.4f}"
+    assert post < pre, (pre, post)
+    assert post < 0.16, f"post-closure keyframe ATE {post:.4f}"
+
+
+def _check_regenerates(variant, npz_name, spot_frames):
+    """The generator is deterministic: the committed artifact is
+    reproducible (auditable) from the reference PNG + pure numpy."""
+    from make_eval_sequence import VARIANTS, make_scene
+
+    d = np.load(os.path.join(DATA_DIR, npz_name))
+    traj = VARIANTS[variant][2]
+    scene = make_scene(variant)
+    rolls, sxs, dzs = traj()
+    for i in spot_frames:
+        f, R, t = scene.render_trajectory([rolls[i]], [sxs[i]], [dzs[i]])
+        assert np.array_equal(f[0], d["frames"][i]), (variant, i)
+        np.testing.assert_array_equal(R[0], d["Rs"][i])
+        np.testing.assert_array_equal(t[0], d["ts"][i])
+
+
+def test_sequence_regenerates_identically():
+    _check_regenerates("a", "eval_seq.npz", (0, 17, 47))
 
 
 def test_sequence2_regenerates_identically():
-    from make_eval_sequence import FX, FY, H, W, trajectory_b
-    from pislam_tpu.utils.render import PlaneScene
+    _check_regenerates("b", "eval_seq2.npz", (0, 23, 55))
 
-    d = np.load(DATA2)
-    scene = PlaneScene(width=W, height=H, fx=FX, fy=FY, seed=5)
-    rolls, sxs, dzs = trajectory_b()
-    for i in (0, 23, 55):
-        f, R, t = scene.render_trajectory([rolls[i]], [sxs[i]], [dzs[i]])
-        assert np.array_equal(f[0], d["frames"][i])
-        np.testing.assert_array_equal(R[0], d["Rs"][i])
-        np.testing.assert_array_equal(t[0], d["ts"][i])
+
+def test_sequence3_regenerates_identically():
+    _check_regenerates("c", "eval_seq3.npz", (0, 45, 87))

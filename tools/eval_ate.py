@@ -36,7 +36,15 @@ def slam_config(w, h):
                                    PyramidConfig, VOConfig)
     return PislamConfig(
         pyramid=PyramidConfig(base_width=w, base_height=h, num_levels=4),
-        frontend=FrontendConfig(fast_threshold=20, harris_threshold=1 << 10,
+        # thresholds swept on the TUNING sequence (real demo-photo texture,
+        # post-closure keyframe ATE): 20/1024 starves the tracker at
+        # 185-319 feats (0.21), 16/1024 -> 0.12, 15/512 -> 0.24,
+        # 14/1024 -> 0.11, 14/256 -> 0.11, 13/512 -> 0.12, 12/512
+        # saturates 512 weak corners (0.30); 14/512 tracks at 444-512
+        # feats with 0.087. The reference demo uses 20/1<<15 on full-res
+        # VGA pyramids (demo.cpp:85-86); smaller frames + real texture
+        # need the lower floor (ORB-SLAM's minThFAST idea).
+        frontend=FrontendConfig(fast_threshold=14, harris_threshold=1 << 9,
                                 border=16, max_keypoints=512),
         matcher=MatcherConfig(max_distance=64, ratio=0.85),
         vo=VOConfig(ransac_iters=256, inlier_threshold=2e-3, min_inliers=20),
