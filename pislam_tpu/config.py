@@ -150,6 +150,13 @@ class VOConfig:
     # self-similar texture: eval_seq3 frame 45, rot_err 10 -> 175 deg).
     # 0 disables.
     max_rel_rotation_deg: float = 60.0
+    # triangulated-depth scale propagation (models/visual_odometry.py):
+    # scale each VO step by the median depth ratio of features shared
+    # across three consecutive frames, instead of the unit-norm |t|=1
+    # convention. Off by default: A/B'd on the committed sequences
+    # (tools/ab_vo_scale.py).
+    scale_propagation: bool = False
+    min_scale_matches: int = 10
 
 
 @dataclasses.dataclass(frozen=True)

@@ -38,6 +38,24 @@ class VOState(NamedTuple):
     prev: Features
     prev_pts: jax.Array  # (K, 2) normalised coords of prev features
     key: jax.Array
+    # scale propagation (vo.scale_propagation): per-feature depths of the
+    # previous frame's keypoints in ITS camera (map units, 0 = unknown)
+    # and the last accepted step scale. None when the feature is off.
+    prev_depths: jax.Array = None
+    step_scale: jax.Array = None
+
+
+def _depths_along_ray1(R, t, p1, p2):
+    """Depth (z in camera 1) of each correspondence for relative pose
+    x_c2 = R x_c1 + t -- the closed-form midpoint solve of
+    backend/triangulate.py specialised to the relative frame."""
+    d1 = jnp.concatenate([p1, jnp.ones_like(p1[..., :1])], -1)
+    d2 = jnp.concatenate([p2, jnp.ones_like(p2[..., :1])], -1)
+    rd1 = d1 @ R.T
+    c_rd1 = jnp.cross(d2, rd1)
+    c_t = jnp.cross(d2, jnp.broadcast_to(t, d2.shape))
+    return -jnp.sum(c_rd1 * c_t, -1) / jnp.maximum(
+        jnp.sum(c_rd1 * c_rd1, -1), 1e-12)
 
 
 def normalise_points(feats: Features, fx, fy, cx, cy, level_rows,
@@ -96,10 +114,48 @@ def vo_step(mc, vc, state: VOState, feats: Features, pts):
     # T_w2 = T_12 o T_w1
     tnorm = out["t"] / jnp.maximum(
         jnp.linalg.norm(out["t"]), 1e-9)
+
+    if vc.scale_propagation:
+        # triangulated-depth scale propagation: the unit-norm convention
+        # gives every transition |t| = 1 regardless of true step length,
+        # distorting the trajectory SHAPE wherever speed varies (a global
+        # Umeyama scale cannot fix per-step variation). Features seen in
+        # three consecutive frames tie the scales together: their depth in
+        # frame i from the (i-1, i) pair (map units) over their depth from
+        # the (i, i+1) pair (unit-baseline units) estimates the new step's
+        # scale; the masked MEDIAN over inliers is robust to mismatches
+        # (the monocular scale chain every real VO uses, vs. the
+        # constant-velocity propagation that measurably regressed --
+        # models/slam.py:423).
+        K = pts.shape[0]
+        d1 = _depths_along_ray1(out["R"], tnorm, p1, p2)  # (K,) unit-base
+        pair_ok = out["inliers"] & ok & (d1 > 1e-6)
+        have_prev = pair_ok & (state.prev_depths > 0)
+        ratio = state.prev_depths / jnp.maximum(d1, 1e-9)
+        ratio = jnp.where(have_prev & jnp.isfinite(ratio), ratio, jnp.inf)
+        n_r = jnp.sum(ratio < jnp.inf)
+        r_sorted = jnp.sort(ratio)
+        s_med = r_sorted[jnp.maximum(n_r - 1, 0) // 2]  # lower median
+        s = jnp.where(n_r >= vc.min_scale_matches, s_med, state.step_scale)
+        s = jnp.where(good & jnp.isfinite(s) & (s > 1e-9), s,
+                      state.step_scale)
+        # depths of the CURRENT frame's features in its camera, map units
+        z2 = ((d1 * (p1 @ out["R"][2, :2] + out["R"][2, 2])) + tnorm[2]) * s
+        dst = jnp.where(pair_ok & (z2 > 0), jnp.clip(idx2, 0), K)
+        depths_new = jnp.zeros(K + 1).at[dst].set(z2)[:K]
+        depths_new = jnp.where(good, depths_new, jnp.zeros(K))
+        tstep = s * tnorm
+        step_scale_new = jnp.where(good, s, state.step_scale)
+    else:
+        depths_new = state.prev_depths
+        step_scale_new = state.step_scale
+        tstep = tnorm
+
     Rn = jnp.where(good, out["R"] @ state.R, state.R)
-    tn = jnp.where(good, (out["R"] @ state.t[:, None])[:, 0] + tnorm,
+    tn = jnp.where(good, (out["R"] @ state.t[:, None])[:, 0] + tstep,
                    state.t)
-    new_state = VOState(R=Rn, t=tn, prev=feats, prev_pts=pts, key=key)
+    new_state = VOState(R=Rn, t=tn, prev=feats, prev_pts=pts, key=key,
+                        prev_depths=depths_new, step_scale=step_scale_new)
     info = {"num_matches": jnp.sum(ok),
             "num_inliers": out["num_inliers"],
             "accepted": good}
@@ -154,7 +210,8 @@ def make_vo_scan(cfg: PislamConfig, fx: float, fy: float,
     def run(frames, key):
         f0, p0 = frontend(frames[0])
         st = VOState(R=jnp.eye(3), t=jnp.zeros(3), prev=f0, prev_pts=p0,
-                     key=key)
+                     key=key, prev_depths=jnp.zeros(p0.shape[0]),
+                     step_scale=jnp.float32(1.0))
         _, (Rs, ts, ninl, acc) = jax.lax.scan(step, st, frames[1:])
         return {
             "R": jnp.concatenate([jnp.eye(3)[None], Rs]),
@@ -204,7 +261,9 @@ class VisualOdometry:
                                self.level_rows, self.level_scales,
                                dist=self.dist)
         return VOState(R=jnp.eye(3), t=jnp.zeros(3), prev=feats,
-                       prev_pts=pts, key=jax.random.PRNGKey(seed))
+                       prev_pts=pts, key=jax.random.PRNGKey(seed),
+                       prev_depths=jnp.zeros(pts.shape[0]),
+                       step_scale=jnp.float32(1.0))
 
     def process(self, state: VOState, frame):
         feats = self.extract(frame)
