@@ -40,12 +40,100 @@ class PoseGraph(NamedTuple):
     # edge, which is the textbook cause of loop over/under-correction.
     # None = all ones (backward compatible).
     edge_weight: Optional[jax.Array] = None
+    # Optional Sim(3) state (optimize(..., sim3=True)): per-node
+    # log-scales and per-edge measured relative log-scales. A monocular
+    # front end drifts in SCALE along the trajectory; an SE(3) graph has
+    # no scale DOF, so a metric loop edge's translation misfit gets
+    # distributed as bogus rotations/translations instead of the scale
+    # change that actually happened -- the reason ORB-SLAM optimises its
+    # essential graph over Sim(3). None = zeros.
+    node_logs: Optional[jax.Array] = None   # (N,) log s_i
+    edge_logs: Optional[jax.Array] = None   # (M,) log s_ij measured
 
 
 def _edge_weights(g: PoseGraph):
     if g.edge_weight is None:
         return jnp.ones(g.edge_i.shape[0], jnp.float32)
     return g.edge_weight.astype(jnp.float32)
+
+
+def _node_logs(g: PoseGraph):
+    if g.node_logs is None:
+        return jnp.zeros(g.R.shape[0], jnp.float32)
+    return g.node_logs.astype(jnp.float32)
+
+
+def _edge_logs(g: PoseGraph):
+    if g.edge_logs is None:
+        return jnp.zeros(g.edge_i.shape[0], jnp.float32)
+    return g.edge_logs.astype(jnp.float32)
+
+
+# ---- Sim(3) helpers: elements act as x -> e^ls R x + t -------------------
+
+def _sim3_rel(lsi, Ri, ti, lsj, Rj, tj):
+    """X_i^{-1} X_j for Sim3 nodes: (ls, R, t) relative, batched."""
+    Rit = jnp.swapaxes(Ri, -1, -2)
+    si_inv = jnp.exp(-lsi)
+    R = Rit @ Rj
+    t = si_inv[..., None] * (Rit @ (tj - ti)[..., None])[..., 0]
+    return lsj - lsi, R, t
+
+
+def _sim3_residual(ls_rel, R_rel, t_rel, ls_z, R_z, t_z):
+    """(…, 7) residual of E = Z^{-1} (X_i^{-1} X_j): [t_E, log R_E, ls_E].
+
+    A simplified Sim3 log (translation taken directly instead of through
+    the W-matrix) -- vanishes iff E is identity, which is all Gauss-Newton
+    needs; near convergence it differs from the exact log only by a
+    benign reweighting of the translation block."""
+    Rzt = jnp.swapaxes(R_z, -1, -2)
+    sz_inv = jnp.exp(-ls_z)
+    R_E = Rzt @ R_rel
+    t_E = sz_inv[..., None] * (Rzt @ (t_rel - t_z)[..., None])[..., 0]
+    w_E = se3.so3_log(R_E)
+    return jnp.concatenate(
+        [t_E, w_E, (ls_rel - ls_z)[..., None]], axis=-1)
+
+
+def sim3_edge_residuals(g: PoseGraph):
+    """(M, 7) Sim3 twist residuals (masked by edge_valid)."""
+    ls = _node_logs(g)
+    ls_rel, R_rel, t_rel = _sim3_rel(
+        ls[g.edge_i], g.R[g.edge_i], g.t[g.edge_i],
+        ls[g.edge_j], g.R[g.edge_j], g.t[g.edge_j])
+    r = _sim3_residual(ls_rel, R_rel, t_rel,
+                       _edge_logs(g), g.edge_R, g.edge_t)
+    return r * g.edge_valid[:, None]
+
+
+def _analytic_jacobians_sim3(g: PoseGraph):
+    """Exact J_i, J_j (M, 7, 7) wrt left-multiplicative Sim3 twists
+    [rho, w, sigma] (autodiff, like the SE3 path)."""
+    def res(xi, lsi, Ri, ti, lsj, Rj, tj, lz, ZR, Zt):
+        def perturb(p, ls, R, t):
+            dR, dt = se3.se3_exp(p[:6])
+            sig = p[6]
+            return (ls + sig, dR @ R,
+                    jnp.exp(sig) * (dR @ t[:, None])[:, 0] + dt)
+        lsi2, Ri2, ti2 = perturb(xi[:7], lsi, Ri, ti)
+        lsj2, Rj2, tj2 = perturb(xi[7:], lsj, Rj, tj)
+        ls_rel, R_rel, t_rel = _sim3_rel(lsi2, Ri2, ti2, lsj2, Rj2, tj2)
+        return _sim3_residual(ls_rel, R_rel, t_rel, lz, ZR, Zt)
+
+    ls = _node_logs(g)
+    jac = jax.vmap(jax.jacfwd(res),
+                   in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0))(
+        jnp.zeros(14),
+        ls[g.edge_i], g.R[g.edge_i], g.t[g.edge_i],
+        ls[g.edge_j], g.R[g.edge_j], g.t[g.edge_j],
+        _edge_logs(g), g.edge_R, g.edge_t)  # (M, 7, 14)
+    r0 = sim3_edge_residuals(g)
+    sw = jnp.sqrt(_edge_weights(g))
+    jac = jac * sw[:, None, None]
+    r0 = r0 * sw[:, None]
+    m = g.edge_valid[:, None, None]
+    return jac[:, :, :7] * m, jac[:, :, 7:] * m, r0
 
 
 def edge_residuals(g: PoseGraph):
@@ -129,9 +217,11 @@ def _numerical_jacobians(g: PoseGraph, eps: float = 1e-5):
 
 
 def _solve_normal_dense(graph, ji, jj, r, damping, n):
-    """Assemble + factorise the dense (6N, 6N) normal equations."""
-    h = jnp.zeros((n, 6, n, 6))
-    b = jnp.zeros((n, 6))
+    """Assemble + factorise the dense (DN, DN) normal equations
+    (D = 6 for SE3, 7 for Sim3 -- inferred from the Jacobian blocks)."""
+    D = ji.shape[-1]
+    h = jnp.zeros((n, D, n, D))
+    b = jnp.zeros((n, D))
     hii = jnp.einsum("mki,mkj->mij", ji, ji)
     hjj = jnp.einsum("mki,mkj->mij", jj, jj)
     hij = jnp.einsum("mki,mkj->mij", ji, jj)
@@ -144,12 +234,12 @@ def _solve_normal_dense(graph, ji, jj, r, damping, n):
         jnp.swapaxes(hij, -1, -2))
     b = b.at[graph.edge_i].add(bi).at[graph.edge_j].add(bj)
 
-    hd = h.reshape(6 * n, 6 * n) + damping * jnp.eye(6 * n)
+    hd = h.reshape(D * n, D * n) + damping * jnp.eye(D * n)
     bd = b.reshape(-1)
-    pin = jnp.repeat(~graph.node_valid | (jnp.arange(n) == 0), 6)
-    hd = jnp.where(pin[:, None] | pin[None, :], jnp.eye(6 * n), hd)
+    pin = jnp.repeat(~graph.node_valid | (jnp.arange(n) == 0), D)
+    hd = jnp.where(pin[:, None] | pin[None, :], jnp.eye(D * n), hd)
     bd = jnp.where(pin, 0.0, bd)
-    return jnp.linalg.solve(hd, bd).reshape(n, 6)
+    return jnp.linalg.solve(hd, bd).reshape(n, D)
 
 
 def _solve_normal_cg(graph, ji, jj, r, damping, n, cg_iters):
@@ -164,67 +254,88 @@ def _solve_normal_cg(graph, ji, jj, r, damping, n, cg_iters):
     """
     from .ba import _pcg
 
+    D = ji.shape[-1]
     pinned = ~graph.node_valid | (jnp.arange(n) == 0)
 
-    blocks = jnp.zeros((n, 6, 6))
+    blocks = jnp.zeros((n, D, D))
     blocks = blocks.at[graph.edge_i].add(jnp.einsum("mki,mkj->mij", ji, ji))
     blocks = blocks.at[graph.edge_j].add(jnp.einsum("mki,mkj->mij", jj, jj))
-    blocks = blocks + damping * jnp.eye(6)
-    blocks = jnp.where(pinned[:, None, None], jnp.eye(6), blocks)
+    blocks = blocks + damping * jnp.eye(D)
+    blocks = jnp.where(pinned[:, None, None], jnp.eye(D), blocks)
     binv = jnp.linalg.inv(blocks)
 
-    b = jnp.zeros((n, 6))
+    b = jnp.zeros((n, D))
     b = b.at[graph.edge_i].add(-jnp.einsum("mki,mk->mi", ji, r))
     b = b.at[graph.edge_j].add(-jnp.einsum("mki,mk->mi", jj, r))
     b = jnp.where(pinned[:, None], 0.0, b).reshape(-1)
 
     def apply(x_flat):
-        x = jnp.where(pinned[:, None], 0.0, x_flat.reshape(n, 6))
+        x = jnp.where(pinned[:, None], 0.0, x_flat.reshape(n, D))
         y = (jnp.einsum("mki,mi->mk", ji, x[graph.edge_i])
-             + jnp.einsum("mki,mi->mk", jj, x[graph.edge_j]))  # (M, 6)
-        out = jnp.zeros((n, 6))
+             + jnp.einsum("mki,mi->mk", jj, x[graph.edge_j]))  # (M, K)
+        out = jnp.zeros((n, D))
         out = out.at[graph.edge_i].add(jnp.einsum("mki,mk->mi", ji, y))
         out = out.at[graph.edge_j].add(jnp.einsum("mki,mk->mi", jj, y))
         out = out + damping * x
-        out = jnp.where(pinned[:, None], x_flat.reshape(n, 6), out)
+        out = jnp.where(pinned[:, None], x_flat.reshape(n, D), out)
         return out.reshape(-1)
 
     def minv(r_flat):
         return jnp.einsum("nij,nj->ni", binv,
-                          r_flat.reshape(n, 6)).reshape(-1)
+                          r_flat.reshape(n, D)).reshape(-1)
 
-    return _pcg(apply, minv, b, cg_iters).reshape(n, 6)
+    return _pcg(apply, minv, b, cg_iters).reshape(n, D)
 
 
-@partial(jax.jit, static_argnames=("iters", "solver", "cg_iters"))
+@partial(jax.jit, static_argnames=("iters", "solver", "cg_iters", "sim3"))
 def optimize(g: PoseGraph, iters: int = 10, damping: float = 1e-4,
-             solver: str = "auto", cg_iters: int = 0):
+             solver: str = "auto", cg_iters: int = 0, sim3: bool = False):
     """Damped GN iterations; node 0 gauge-fixed. Returns (graph, costs).
 
     solver="auto" uses the dense factorisation up to 64 nodes and
     matrix-free block-Jacobi PCG above (same answers within CG tolerance;
     O(M) memory instead of O((6N)^2)). cg_iters=0 defaults to
     max(128, N): block-Jacobi PCG needs ~graph-diameter iterations to
-    propagate a loop correction along a chain-dominated graph."""
+    propagate a loop correction along a chain-dominated graph.
+
+    sim3=True optimises over Sim(3) -- each node additionally carries a
+    log-scale (g.node_logs; zeros if absent) so monocular scale drift can
+    be absorbed as scale change along the chain instead of being forced
+    into bogus rotations/translations (the ORB-SLAM essential-graph
+    formulation). Convert back to SE(3) poses with t / exp(node_logs)
+    (the caller's job; see models/slam.py)."""
     n = g.R.shape[0]
     if solver == "auto":
         solver = "cg" if n > 64 else "dense"
     if not cg_iters:
         cg_iters = max(128, n)
     assert solver in ("dense", "cg")
+    if sim3 and g.node_logs is None:
+        g = g._replace(node_logs=jnp.zeros(n, jnp.float32))
 
     def step(graph, _):
-        ji, jj, r = _analytic_jacobians(graph)
+        if sim3:
+            ji, jj, r = _analytic_jacobians_sim3(graph)
+        else:
+            ji, jj, r = _analytic_jacobians(graph)
         if solver == "cg":
             delta = _solve_normal_cg(graph, ji, jj, r, damping, n, cg_iters)
         else:
             delta = _solve_normal_dense(graph, ji, jj, r, damping, n)
-        dR, dt = se3.se3_exp(delta)
+        dR, dt = se3.se3_exp(delta[:, :6])
         Rn = dR @ graph.R
-        tn = (dR @ graph.t[..., None])[..., 0] + dt
-        new = graph._replace(R=Rn, t=tn)
-        cost = jnp.sum(_edge_weights(new)[:, None]
-                       * edge_residuals(new) ** 2)
+        tn = (dR @ graph.t[..., None])[..., 0]
+        if sim3:
+            sig = delta[:, 6]
+            tn = jnp.exp(sig)[:, None] * tn + dt
+            new = graph._replace(R=Rn, t=tn,
+                                 node_logs=_node_logs(graph) + sig)
+            res = sim3_edge_residuals(new)
+        else:
+            tn = tn + dt
+            new = graph._replace(R=Rn, t=tn)
+            res = edge_residuals(new)
+        cost = jnp.sum(_edge_weights(new)[:, None] * res ** 2)
         return new, cost
 
     g, costs = jax.lax.scan(step, g, None, length=iters)

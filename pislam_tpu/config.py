@@ -208,6 +208,20 @@ class MapConfig:
     # trajectory lengths, so the default stays OFF; revisit for long
     # sessions with large viewpoint drift.
     refresh_descriptors: bool = False
+    # optimise the loop-closure pose graph over Sim(3) instead of SE(3):
+    # each keyframe carries a scale DOF so monocular scale drift is
+    # absorbed as scale change along the chain instead of being forced
+    # into rotations/translations (the ORB-SLAM essential-graph
+    # formulation; backend/pose_graph.py optimize(sim3=True)). Measured
+    # on the committed sequences (post-closure keyframe ATE, SE3 vs
+    # Sim3): eval_seq 0.0866/0.0860, eval_seq2 0.4776/0.4803, eval_seq3
+    # 0.1039/0.1617 -- map-PnP tracking already pins the scale here, so
+    # the extra DOF only loosens the graph (and the scale-consistent
+    # landmark transport moves points global BA then fails to pull
+    # back on seq3). Default stays OFF; the mode exists for VO-only
+    # pipelines where scale genuinely drifts (unit-tested against
+    # synthetic scale drift in tests/test_backend.py).
+    pose_graph_sim3: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1216,11 +1216,22 @@ class KeyframeSLAM:
             edge_valid=jnp.ones(len(ei), bool),
             node_valid=jnp.ones(n, bool),
             edge_weight=jnp.asarray(np.float32(ew)))
-        g2, _ = pose_graph.optimize(g, iters=8, damping=1e-5)
+        sim3 = bool(self.cfg.map.pose_graph_sim3)
+        g2, _ = pose_graph.optimize(g, iters=8, damping=1e-5, sim3=sim3)
+        if sim3:
+            # recover SE(3) keyframe poses from the Sim(3) solution the
+            # ORB-SLAM way: corrected S_iw = (s_i R_i, t_i) gives
+            # T_iw = [R_i | t_i / s_i], and each landmark goes through
+            # corrected S_wi o old T_iw (scale-consistent transport below).
+            s_node = jnp.exp(g2.node_logs)
+            t_se3 = g2.t / s_node[:, None]
+        else:
+            s_node = jnp.ones(n, jnp.float32)
+            t_se3 = g2.t
         st = self._st
         sl = jnp.asarray(slots)
         store = st.store._replace(R=st.store.R.at[sl].set(g2.R),
-                                  t=st.store.t.at[sl].set(g2.t))
+                                  t=st.store.t.at[sl].set(t_se3))
 
         # transport landmarks with their anchor keyframe's correction
         obs_kf = np.asarray(st.obs.kf)
@@ -1240,7 +1251,11 @@ class KeyframeSLAM:
             R1, t1 = np.asarray(g2.R)[a], np.asarray(g2.t)[a]
             X = np.asarray(st.lmap.xyz)[lm_rows]
             xc = np.einsum("nij,nj->ni", R0, X) + t0
-            Xn = np.einsum("nji,nj->ni", R1, xc - t1).astype(np.float32)
+            # SE(3): X' = R1^T (xc - t1). Sim(3): the corrected inverse is
+            # X' = R1^T (xc - t1) / s1 (t1 = RAW optimised translation) --
+            # local geometry rescales with its anchor camera.
+            Xn = (np.einsum("nji,nj->ni", R1, xc - t1)
+                  / np.asarray(s_node)[a, None]).astype(np.float32)
             lmap = st.lmap._replace(
                 xyz=st.lmap.xyz.at[jnp.asarray(lm_rows)].set(
                     jnp.asarray(Xn)))

@@ -485,3 +485,63 @@ def test_pose_graph_cg_large_chain():
     g, _ = _random_graph(n=256, m_loop=8, seed=2, noise=0.05)
     g2, costs = pose_graph.optimize(g, iters=12)  # auto -> cg, 256 cg iters
     assert float(costs[-1]) < 1e-4
+
+
+def _scale_drift_graph(n=16, rate=1.12):
+    """Circle trajectory whose odometry steps carry multiplicative scale
+    drift (the monocular failure mode), plus one TRUE metric loop edge."""
+    angles = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    true_t = np.stack([np.cos(angles), np.sin(angles), 0 * angles],
+                      1).astype(np.float32) * 3
+    drift = rate ** np.arange(n - 1)
+    est_t = [true_t[0]]
+    for i in range(n - 1):
+        est_t.append(est_t[-1] + (true_t[i + 1] - true_t[i]) * drift[i])
+    est_t = np.stack(est_t).astype(np.float32)
+    ei = np.concatenate([np.arange(n - 1), [n - 1]])
+    ej = np.concatenate([np.arange(1, n), [0]])
+    et = []
+    for a, b in zip(ei, ej):
+        src = true_t if (a, b) == (n - 1, 0) else est_t
+        et.append(src[b] - src[a])
+    g = pose_graph.PoseGraph(
+        R=jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (n, 1, 1))),
+        t=jnp.asarray(est_t),
+        edge_i=jnp.asarray(np.int32(ei)), edge_j=jnp.asarray(np.int32(ej)),
+        edge_R=jnp.asarray(np.tile(np.eye(3, dtype=np.float32),
+                                   (len(ei), 1, 1))),
+        edge_t=jnp.asarray(np.stack(et).astype(np.float32)),
+        edge_valid=jnp.ones(len(ei), bool), node_valid=jnp.ones(n, bool))
+    return g, est_t, true_t
+
+
+def test_pose_graph_sim3_absorbs_scale_drift():
+    """Under monocular scale drift + one metric loop edge, the Sim(3)
+    graph reaches a lower residual AND a better similarity-aligned
+    trajectory than SE(3) -- the extra per-node scale DOF absorbs the
+    drift that SE(3) must misattribute to rotations/translations
+    (the ORB-SLAM essential-graph rationale)."""
+    from pislam_tpu.evaluation import ate_rmse
+
+    g, est_t, true_t = _scale_drift_graph()
+    g6, c6 = pose_graph.optimize(g, iters=30, sim3=False)
+    g7, c7 = pose_graph.optimize(g, iters=30, sim3=True)
+    assert float(c7[-1]) < float(c6[-1]) * 0.75
+    # scales activated, gauge node pinned at log-scale 0
+    logs = np.asarray(g7.node_logs)
+    assert abs(logs[0]) < 1e-6
+    assert np.abs(logs).max() > 0.05
+    ate_pre = float(ate_rmse(est_t, true_t))
+    ate_se3 = float(ate_rmse(np.asarray(g6.t), true_t))
+    ate_sim3 = float(ate_rmse(np.asarray(g7.t), true_t))
+    assert ate_sim3 < ate_se3 * 0.8, (ate_pre, ate_se3, ate_sim3)
+
+
+def test_pose_graph_sim3_consistent_is_fixed_point():
+    """A graph whose edges exactly match its nodes must not move (and must
+    not invent scales) under the Sim(3) optimiser."""
+    g, _ = _random_graph(n=10, m_loop=2, seed=5, noise=0.0)
+    g2, costs = pose_graph.optimize(g, iters=5, sim3=True)
+    assert float(costs[-1]) < 1e-10
+    np.testing.assert_allclose(np.asarray(g2.t), np.asarray(g.t), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g2.node_logs), 0.0, atol=1e-5)
