@@ -18,6 +18,20 @@ This tool removes the process variable: it builds
 and interleaves all six executables (lo/hi each) in one loop, differencing
 minima. If bench_sorted == ab_sorted << ab_dense, the BENCH_r02 number was
 pure inter-process drift and the headline stands at the sorted number.
+
+RESULT (2026-08-20, real chip, AB_REPS=24):
+    bench_sorted    0.5592 ms/frame  (1788.2 fps)
+    ab_sorted       0.5630 ms/frame  (1776.1 fps)
+    ab_dense        0.5781 ms/frame  (1729.7 fps)
+Verdict: (a) — bench.py's chain and ab_frontend.py's chain are identical
+in one process; comparing ab_frontend's 0.326 against bench's 0.55 across
+processes was the error. The honest headline is ~0.56 ms/frame
+(~1780 fps); README corrected. Caveat discovered en passant: the
+sorted-vs-dense gap is only 3 % in THIS run, vs the 1.66x ab_frontend
+recorded in its own (also interleaved, single-process) round-2 run — so
+even in-context interleaved RATIOS can vary with device state between
+days. The sorted default stands (never slower, lower MXU occupancy), but
+treat any single interleaved ratio as one sample, not ground truth.
 """
 import dataclasses
 import time
