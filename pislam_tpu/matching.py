@@ -107,7 +107,7 @@ def match(desc1, desc2, valid1, valid2, max_distance: int = 64,
     return jnp.where(ok, idx2, -1), jnp.where(ok, best, MAX_DIST)
 
 
-@partial(jax.jit, static_argnames=("max_distance", "cross_check"))
+@partial(jax.jit, static_argnames=("radius", "max_distance", "cross_check"))
 def match_gated(desc1, desc2, valid1, valid2, uv1, uv2, radius: float,
                 max_distance: int = 64, ratio: float = 0.8,
                 cross_check: bool = True):
@@ -123,19 +123,34 @@ def match_gated(desc1, desc2, valid1, valid2, uv1, uv2, radius: float,
 
     uv1 (K1, 2), uv2 (K2, 2): normalised-plane coordinates of the query
     features and the projected landmarks (pass inf/large values for
-    behind-camera projections to exclude them). Gating works on the dense
-    (K1, K2) distance matrix: at map scale this materialises the matrix in
-    HBM (the ungated Pallas kernel never does), but it runs at keyframe/
-    tracking rate where the MXU matmul still dominates.
+    behind-camera projections to exclude them).
+
+    Off-CPU the gate is fused into the Pallas match kernel (the same
+    streaming tile reduction as `match`, with per-tile coordinate planes
+    pinning outside-radius pairs to MAX_DIST in-register) so the
+    production map-tracking config never materialises the two (K1, K2)
+    matrices in HBM; the XLA dense-matrix path serves CPU and unaligned
+    shapes, bit-identically (interpreter tests + tools/tpu_parity.py).
     """
-    dist = hamming_matrix(desc1, desc2, valid1, valid2)
-    d2 = jnp.sum((uv1[:, None, :] - uv2[None, :, :]) ** 2, axis=-1)
-    dist = jnp.where(d2 <= radius * radius, dist, MAX_DIST)
-    idx2, best, second = _best_two(dist)
+    nbits = desc1.shape[1] * 32
+    aligned = desc2.shape[0] % 128 == 0 and nbits % 128 == 0
+    if jax.default_backend() != "cpu" and aligned:
+        from .ops import pallas_kernels as pk
+
+        a = expand_pm1(desc1)
+        b = expand_pm1(desc2)
+        best, second, idx2, col_arg = pk.match_reduce(
+            a, b, valid1, valid2, uv1, uv2, float(radius))
+        rbest_idx = col_arg
+    else:
+        dist = hamming_matrix(desc1, desc2, valid1, valid2)
+        d2 = jnp.sum((uv1[:, None, :] - uv2[None, :, :]) ** 2, axis=-1)
+        dist = jnp.where(d2 <= radius * radius, dist, MAX_DIST)
+        idx2, best, second = _best_two(dist)
+        rbest_idx = jnp.argmin(dist, axis=0) if cross_check else None
     ok = best <= max_distance
     ok &= best.astype(jnp.float32) < ratio * second.astype(jnp.float32)
     if cross_check:
-        rbest_idx = jnp.argmin(dist, axis=0)
         ok &= rbest_idx[idx2] == jnp.arange(desc1.shape[0])
     ok &= valid1
     return jnp.where(ok, idx2, -1), jnp.where(ok, best, MAX_DIST)

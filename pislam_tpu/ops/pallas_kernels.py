@@ -601,20 +601,13 @@ MATCH_BLOCK_K2 = 2048  # database columns per VMEM tile (i8: 512 KB)
 MATCH_MAX = 1 << 14   # matching.MAX_DIST (sentinel > any Hamming distance)
 
 
-def _match_reduce_kernel(a_ref, b_ref, v1_ref, v2_ref,
-                         best_ref, second_ref, idx_ref, col_ref, *, nbits):
+def _match_accumulate(d, best_ref, second_ref, idx_ref, col_ref):
+    """Shared tail of the match kernels: reduce one (B, BK2) distance tile
+    and merge it into the running row/column accumulators (see the merge
+    rule in the block comment above)."""
     i = pl.program_id(0)          # row block
     j = pl.program_id(1)          # database block (innermost)
-    a = a_ref[:]                  # (B, nbits) i8
-    b = b_ref[:]                  # (BK2, nbits) i8
-    bk2 = b.shape[0]
-    dot = jax.lax.dot_general(
-        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32)
-    d = (nbits - dot) >> 1
-    d = jnp.where(v1_ref[:] != 0, d, MATCH_MAX)          # (B, 1) bcast
-    d = jnp.where(v2_ref[:] != 0, d, MATCH_MAX)          # (1, BK2) bcast
-
+    bk2 = d.shape[1]
     cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
     best = jnp.min(d, axis=1, keepdims=True)
     first = jnp.where(d == best, cols, bk2)
@@ -652,7 +645,39 @@ def _match_reduce_kernel(a_ref, b_ref, v1_ref, v2_ref,
     col_ref[0] = jnp.concatenate([cmin, carg], axis=0)   # (2, BK2)
 
 
-def match_reduce(a_pm1, b_pm1, valid1, valid2):
+def _match_distance_tile(a_ref, b_ref, v1_ref, v2_ref, *, nbits):
+    """One (B, BK2) masked Hamming-distance tile via an i8 MXU dot."""
+    dot = jax.lax.dot_general(
+        a_ref[:], b_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    d = (nbits - dot) >> 1
+    d = jnp.where(v1_ref[:] != 0, d, MATCH_MAX)          # (B, 1) bcast
+    return jnp.where(v2_ref[:] != 0, d, MATCH_MAX)       # (1, BK2) bcast
+
+
+def _match_reduce_kernel(a_ref, b_ref, v1_ref, v2_ref,
+                         best_ref, second_ref, idx_ref, col_ref, *, nbits):
+    d = _match_distance_tile(a_ref, b_ref, v1_ref, v2_ref, nbits=nbits)
+    _match_accumulate(d, best_ref, second_ref, idx_ref, col_ref)
+
+
+def _match_reduce_gated_kernel(a_ref, b_ref, v1_ref, v2_ref,
+                               x1_ref, y1_ref, x2_ref, y2_ref,
+                               best_ref, second_ref, idx_ref, col_ref,
+                               *, nbits, radius2):
+    """Gated variant: pairs farther than radius on the normalised plane are
+    pinned to MATCH_MAX in-register, so the production map-tracking config
+    (matching.match_gated) stops materialising (K1, K2) matrices in HBM.
+    Same float semantics as the XLA gate: (x1-x2)^2 + (y1-y2)^2 <= r^2."""
+    d = _match_distance_tile(a_ref, b_ref, v1_ref, v2_ref, nbits=nbits)
+    dx = x1_ref[:] - x2_ref[:]                           # (B, BK2) f32
+    dy = y1_ref[:] - y2_ref[:]
+    d = jnp.where(dx * dx + dy * dy <= radius2, d, MATCH_MAX)
+    _match_accumulate(d, best_ref, second_ref, idx_ref, col_ref)
+
+
+def match_reduce(a_pm1, b_pm1, valid1, valid2,
+                 uv1=None, uv2=None, radius=None):
     """Row-wise (best, second, argmin) + column-wise first-argmin of the
     Hamming distance matrix between +-1-expanded descriptors.
 
@@ -660,9 +685,16 @@ def match_reduce(a_pm1, b_pm1, valid1, valid2):
     (best (K1,), second (K1,), idx (K1,), col_argmin (K2,)) int32, matching
     matching.py's XLA reductions exactly. K1 is padded to MATCH_BLOCK and
     K2 to MATCH_BLOCK_K2 (when larger than one tile) with invalid slots.
+
+    With uv1 (K1, 2), uv2 (K2, 2) f32 and a radius (python float), pairs
+    farther apart than radius on the normalised plane are pinned to
+    MATCH_MAX in-register -- the fused form of matching.match_gated's
+    projection gate (bit-identical float semantics; padded slots get
+    coordinate 0 but are already invalid).
     """
     k1, nbits = a_pm1.shape
     k2 = b_pm1.shape[0]
+    gated = radius is not None
     pad = (-k1) % MATCH_BLOCK
     pad2 = (-k2) % MATCH_BLOCK_K2 if k2 > MATCH_BLOCK_K2 else 0
     if pad or pad2:
@@ -672,26 +704,47 @@ def match_reduce(a_pm1, b_pm1, valid1, valid2):
             jnp.concatenate([a_pm1, za]),
             jnp.concatenate([b_pm1, zb]),
             jnp.concatenate([valid1, jnp.zeros(pad, bool)]),
-            jnp.concatenate([valid2, jnp.zeros(pad2, bool)]))
+            jnp.concatenate([valid2, jnp.zeros(pad2, bool)]),
+            None if not gated else jnp.concatenate(
+                [uv1, jnp.zeros((pad, 2), jnp.float32)]),
+            None if not gated else jnp.concatenate(
+                [uv2, jnp.zeros((pad2, 2), jnp.float32)]),
+            radius)
         return best[:k1], second[:k1], idx[:k1], carg[:k2]
     bk2 = min(k2, MATCH_BLOCK_K2)
-    kern = functools.partial(_match_reduce_kernel, nbits=nbits)
     grid = (k1 // MATCH_BLOCK, k2 // bk2)
     col = lambda: pl.BlockSpec((MATCH_BLOCK, 1), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM)
+    row_in = lambda: pl.BlockSpec((MATCH_BLOCK, 1), lambda i, j: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    db_in = lambda: pl.BlockSpec((1, bk2), lambda i, j: (0, j),
+                                 memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((MATCH_BLOCK, nbits), lambda i, j: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk2, nbits), lambda i, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+        row_in(),
+        db_in(),
+    ]
+    args = [a_pm1,
+            b_pm1,
+            valid1.reshape(k1, 1).astype(jnp.int32),
+            valid2.reshape(1, k2).astype(jnp.int32)]
+    if gated:
+        kern = functools.partial(_match_reduce_gated_kernel, nbits=nbits,
+                                 radius2=float(radius) * float(radius))
+        in_specs += [row_in(), row_in(), db_in(), db_in()]
+        uv1 = uv1.astype(jnp.float32)
+        uv2 = uv2.astype(jnp.float32)
+        args += [uv1[:, 0].reshape(k1, 1), uv1[:, 1].reshape(k1, 1),
+                 uv2[:, 0].reshape(1, k2), uv2[:, 1].reshape(1, k2)]
+    else:
+        kern = functools.partial(_match_reduce_kernel, nbits=nbits)
     best, second, idx, colstate = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((MATCH_BLOCK, nbits), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk2, nbits), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((MATCH_BLOCK, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk2), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[col(), col(), col(),
                    pl.BlockSpec((1, 2, bk2), lambda i, j: (i, 0, j),
                                 memory_space=pltpu.VMEM)],
@@ -701,10 +754,7 @@ def match_reduce(a_pm1, b_pm1, valid1, valid2):
             jax.ShapeDtypeStruct((k1, 1), jnp.int32),
             jax.ShapeDtypeStruct((k1 // MATCH_BLOCK, 2, k2), jnp.int32),
         ],
-    )(a_pm1,
-      b_pm1,
-      valid1.reshape(k1, 1).astype(jnp.int32),
-      valid2.reshape(1, k2).astype(jnp.int32))
+    )(*args)
     # merge the per-row-block column states: global min, first-occurrence
     # argmin (carg carries the absolute row index, so min over ties IS the
     # first occurrence)

@@ -164,6 +164,12 @@ def batch_slam_states(cfg: PislamConfig, n: int, seed: int = 7):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
 
+# test hook: the CPU suite runs the Pallas branch of _sharded_match_local
+# under the Mosaic interpreter by flipping this (tests/test_parallel.py);
+# production CPU fallback keeps the XLA dense path.
+_FORCE_MATCH_KERNEL = False
+
+
 def _sharded_match_local(axis: str, n: int, descA, descB_s, validA, validB_s,
                          max_distance: int, ratio: float, cross_check: bool,
                          gate=None):
@@ -180,12 +186,33 @@ def _sharded_match_local(axis: str, n: int, descA, descB_s, validA, validB_s,
 
     k1 = descA.shape[0]
     k2s = descB_s.shape[0]
-    dist = m.hamming_matrix(descA, descB_s, validA, validB_s)
-    if gate is not None:  # (uvA (K1,2), uvB_s (K2s,2), radius): projection
-        uvA, uvB_s, radius = gate
-        d2 = jnp.sum((uvA[:, None, :] - uvB_s[None, :, :]) ** 2, axis=-1)
-        dist = jnp.where(d2 <= radius * radius, dist, m.MAX_DIST)
-    bidx, best, second = m._best_two(dist)
+    nbits = descA.shape[1] * 32
+    aligned = k2s % 128 == 0 and nbits % 128 == 0
+    if aligned and (jax.default_backend() != "cpu"
+                    or _FORCE_MATCH_KERNEL):
+        # per-shard fused tile reduction (ops/pallas_kernels.match_reduce,
+        # optionally gated): the (K1, K2s) distance matrix never reaches
+        # HBM on any shard; bit-identical to the dense path below.
+        from ..ops import pallas_kernels as pk
+
+        a = m.expand_pm1(descA)
+        b = m.expand_pm1(descB_s)
+        if gate is not None:
+            uvA, uvB_s, radius = gate
+            best, second, bidx, rbest = pk.match_reduce(
+                a, b, validA, validB_s, uvA, uvB_s, float(radius))
+        else:
+            best, second, bidx, rbest = pk.match_reduce(
+                a, b, validA, validB_s)
+    else:
+        dist = m.hamming_matrix(descA, descB_s, validA, validB_s)
+        if gate is not None:  # (uvA (K1,2), uvB_s (K2s,2), radius)
+            uvA, uvB_s, radius = gate
+            d2 = jnp.sum((uvA[:, None, :] - uvB_s[None, :, :]) ** 2,
+                         axis=-1)
+            dist = jnp.where(d2 <= radius * radius, dist, m.MAX_DIST)
+        bidx, best, second = m._best_two(dist)
+        rbest = jnp.argmin(dist, axis=0)
     shard = jax.lax.axis_index(axis)
     gidx = bidx + shard * k2s
 
@@ -205,7 +232,7 @@ def _sharded_match_local(axis: str, n: int, descA, descB_s, validA, validB_s,
     ok = best_g <= max_distance
     ok &= best_g.astype(jnp.float32) < ratio * second_g.astype(jnp.float32)
     if cross_check:
-        rbest = jnp.argmin(dist, axis=0)           # per local column
+        # rbest: per local column first-argmin (computed above per branch)
         all_rbest = jax.lax.all_gather(rbest, axis).reshape(n * k2s)
         ok &= all_rbest[idx_g] == rows
     ok &= validA

@@ -196,6 +196,85 @@ def test_match_reduce_interpret():
     assert np.array_equal(np.asarray(carg), np.asarray(ecarg))
 
 
+def test_match_reduce_gated_interpret():
+    """Fused projection gate == matching.match_gated's XLA dense-matrix
+    gate, bit-exactly (incl. behind-camera inf coordinates and pairs
+    exactly on the radius)."""
+    from pislam_tpu import matching
+
+    rng = np.random.default_rng(21)
+    k1, k2 = 320, 256
+    d1 = rng.integers(0, 2**32, (k1, 8), dtype=np.uint32)
+    d2 = rng.integers(0, 2**32, (k2, 8), dtype=np.uint32)
+    d2[50] = d1[7]      # perfect match ...
+    v1 = rng.random(k1) < 0.9
+    v2 = rng.random(k2) < 0.9
+    uv1 = rng.uniform(-0.5, 0.5, (k1, 2)).astype(np.float32)
+    uv2 = rng.uniform(-0.5, 0.5, (k2, 2)).astype(np.float32)
+    uv2[50] = uv1[7] + [0.2, 0.0]   # ... pushed outside the gate
+    uv2[40] = 1e6                   # behind-camera sentinel
+    uv2[41] = np.inf
+    uv1[100] = uv2[100] + [0.06, 0.0]  # exactly ON the radius (<= keeps it)
+    radius = 0.06
+    a = matching.expand_pm1(jnp.asarray(d1))
+    b = matching.expand_pm1(jnp.asarray(d2))
+    with pltpu.force_tpu_interpret_mode():
+        best, second, idx, carg = pk.match_reduce(
+            a, b, jnp.asarray(v1), jnp.asarray(v2),
+            jnp.asarray(uv1), jnp.asarray(uv2), radius)
+    dist = matching.hamming_matrix(jnp.asarray(d1), jnp.asarray(d2),
+                                   jnp.asarray(v1), jnp.asarray(v2))
+    d2m = jnp.sum((jnp.asarray(uv1)[:, None, :]
+                   - jnp.asarray(uv2)[None, :, :]) ** 2, axis=-1)
+    dist = jnp.where(d2m <= radius * radius, dist, matching.MAX_DIST)
+    eidx, ebest, esecond = matching._best_two(dist)
+    ecarg = jnp.argmin(dist, axis=0)
+    assert np.array_equal(np.asarray(best), np.asarray(ebest))
+    assert np.array_equal(np.asarray(second), np.asarray(esecond))
+    assert np.array_equal(np.asarray(idx), np.asarray(eidx))
+    assert np.array_equal(np.asarray(carg), np.asarray(ecarg))
+
+
+def test_match_gated_kernel_vs_xla_path():
+    """matching.match_gated's two branches (Pallas kernel vs XLA dense)
+    agree on final (idx, dist) through ratio + cross-check, via the
+    interpreter on the kernel branch."""
+    from pislam_tpu import matching
+
+    rng = np.random.default_rng(22)
+    k1, k2 = 256, 512
+    d1 = rng.integers(0, 2**32, (k1, 8), dtype=np.uint32)
+    base = rng.integers(0, 2**32, (k2, 8), dtype=np.uint32)
+    # correlated database: flip a few bits of query rows so ratio tests bite
+    for i in range(0, k1, 3):
+        base[(i * 7) % k2] = d1[i] ^ np.uint32(rng.integers(0, 2**10))
+    v1 = rng.random(k1) < 0.95
+    v2 = rng.random(k2) < 0.95
+    uv1 = rng.uniform(-0.5, 0.5, (k1, 2)).astype(np.float32)
+    uv2 = rng.uniform(-0.5, 0.5, (k2, 2)).astype(np.float32)
+    radius = 0.25
+    args = (jnp.asarray(d1), jnp.asarray(base), jnp.asarray(v1),
+            jnp.asarray(v2), jnp.asarray(uv1), jnp.asarray(uv2))
+
+    a = matching.expand_pm1(jnp.asarray(d1))
+    b = matching.expand_pm1(jnp.asarray(base))
+    with pltpu.force_tpu_interpret_mode():
+        best, second, idx2, carg = pk.match_reduce(
+            a, b, jnp.asarray(v1), jnp.asarray(v2),
+            jnp.asarray(uv1), jnp.asarray(uv2), radius)
+    ok = best <= 64
+    ok &= best.astype(jnp.float32) < 0.8 * second.astype(jnp.float32)
+    ok &= carg[idx2] == jnp.arange(k1)
+    ok &= jnp.asarray(v1)
+    k_idx = np.asarray(jnp.where(ok, idx2, -1))
+    k_dist = np.asarray(jnp.where(ok, best, matching.MAX_DIST))
+
+    e_idx, e_dist = matching.match_gated(*args, radius, max_distance=64,
+                                         ratio=0.8, cross_check=True)
+    assert np.array_equal(k_idx, np.asarray(e_idx))
+    assert np.array_equal(k_dist, np.asarray(e_dist))
+
+
 def test_realign2d_matches_realign():
     rng = np.random.default_rng(13)
     k = 256

@@ -458,3 +458,56 @@ def test_sharded_map_tracker_gated_matches_single():
     assert np.array_equal(np.asarray(assoc_s), np.asarray(assoc_d))
     np.testing.assert_allclose(np.asarray(Rd), np.asarray(Rs), atol=1e-5)
     np.testing.assert_allclose(np.asarray(td), np.asarray(ts_), atol=1e-5)
+
+
+def test_sharded_match_kernel_branch_interpret():
+    """The TPU branch of _sharded_match_local (fused gated Pallas
+    reduction, never taken on the CPU backend) must match the XLA dense
+    branch bit-exactly across shards, via the Mosaic interpreter.
+
+    Kept at one VMEM tile per shard: at production map sizes the
+    interpret-mode callbacks inside shard_map stall at result
+    materialisation (hours-level interpreter cost at best, observed as a
+    hang), while the multi-tile accumulator logic itself is covered by
+    test_pallas_kernels.py::test_match_reduce_tiled_interpret and the
+    full-size branch runs on hardware in tools/tpu_parity.py."""
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import PartitionSpec as P
+
+    rng = np.random.default_rng(31)
+    k1, k2 = 192, 1024  # 256 per shard: single tile, k1 pad path
+    d1 = rng.integers(0, 2**32, (k1, 8), dtype=np.uint32)
+    d2 = rng.integers(0, 2**32, (k2, 8), dtype=np.uint32)
+    d2[100] = d1[7]
+    d2[700] = d1[7]     # duplicate split across shards
+    v1 = rng.random(k1) < 0.9
+    v2 = rng.random(k2) < 0.9
+    uv1 = rng.uniform(-0.5, 0.5, (k1, 2)).astype(np.float32)
+    uv2 = rng.uniform(-0.5, 0.5, (k2, 2)).astype(np.float32)
+
+    m = meshmod.make_mesh(MeshConfig(data_parallel=2, model_parallel=4))
+
+    def run(gate_radius):
+        gate = None
+        def body(b_s, v2_s, uv2_s):
+            g = (jnp.asarray(uv1), uv2_s, gate_radius) \
+                if gate_radius else None
+            return dist._sharded_match_local(
+                "model", 4, jnp.asarray(d1), b_s, jnp.asarray(v1), v2_s,
+                64, 0.8, True, gate=g)
+        f = jax.jit(jax.shard_map(
+            body, mesh=m,
+            in_specs=(P("model"), P("model"), P("model")),
+            out_specs=(P(), P()), check_vma=False))
+        return f(jnp.asarray(d2), jnp.asarray(v2), jnp.asarray(uv2))
+
+    for radius in (0.0, 0.2):
+        idx_x, best_x = run(radius)                      # XLA branch (CPU)
+        dist._FORCE_MATCH_KERNEL = True
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                idx_k, best_k = run(radius)              # kernel branch
+        finally:
+            dist._FORCE_MATCH_KERNEL = False
+        assert np.array_equal(np.asarray(idx_k), np.asarray(idx_x)), radius
+        assert np.array_equal(np.asarray(best_k), np.asarray(best_x)), radius

@@ -6,6 +6,15 @@ frame (K2=2048); pass a K2 on the command line (e.g. 16384) to benchmark
 the map-scale K2-tiled kernel against the XLA whole-matrix fallback — the
 regime where the fallback materialises a (K1, K2) i32 HBM transient
 (128 MB at K2=16384) while the tiled kernel streams VMEM blocks.
+
+RESULT (2026-08-20, real chip, K1=2048 K2=16384, 20 interleaved reps):
+    pallas_match    0.2065 ms     xla_match       0.7587 ms
+    pallas_gated    0.2441 ms     xla_gated       0.7635 ms
+All four reductions bit-identical on hardware (gated and ungated). The
+fused coordinate gate costs ~0.04 ms over the ungated kernel and beats
+the XLA dense-gate path 3.1x -- the production map-tracking config
+(gate_radius=0.06) now takes the kernel branch in matching.match_gated
+and parallel/dist._sharded_match_local.
 """
 import sys
 
@@ -89,8 +98,56 @@ def main():
     print(f"pallas and XLA reductions bit-identical on hardware "
           f"(K1={d1.shape[0]}, K2={d2.shape[0]})")
 
+    # projection-gated variants (the production map-tracking config,
+    # cfg.map.gate_radius=0.06): fused per-tile coordinate gate vs the XLA
+    # dense d2-matrix gate (matching.match_gated's two branches)
+    rng = np.random.default_rng(3)
+    uv1 = jnp.asarray(rng.uniform(-0.5, 0.5, (d1.shape[0], 2))
+                      .astype(np.float32))
+    uv2 = jnp.asarray(rng.uniform(-0.5, 0.5, (d2.shape[0], 2))
+                      .astype(np.float32))
+    radius = 0.06
+
+    def pallas_gated(d):
+        from pislam_tpu.ops import pallas_kernels as pk
+
+        a = matching.expand_pm1(d)
+        b = matching.expand_pm1(jd2)
+        best, second, idx2, carg = pk.match_reduce(
+            a, b, jv1, jv2, uv1, uv2, radius)
+        return probe(*filters(best, second, idx2, carg, jv1, d.shape[0]))
+
+    def xla_gated(d):
+        dist = matching.hamming_matrix(d, jd2, jv1, jv2)
+        dd = jnp.sum((uv1[:, None, :] - uv2[None, :, :]) ** 2, axis=-1)
+        dist = jnp.where(dd <= radius * radius, dist, matching.MAX_DIST)
+        idx2, best, second = matching._best_two(dist)
+        rbest = jnp.argmin(dist, axis=0)
+        return probe(*filters(best, second, idx2, rbest, jv1, d.shape[0]))
+
+    def pallas_gated_raw(d):
+        from pislam_tpu.ops import pallas_kernels as pk
+
+        return pk.match_reduce(matching.expand_pm1(d),
+                               matching.expand_pm1(jd2), jv1, jv2,
+                               uv1, uv2, radius)
+
+    def xla_gated_raw(d):
+        dist = matching.hamming_matrix(d, jd2, jv1, jv2)
+        dd = jnp.sum((uv1[:, None, :] - uv2[None, :, :]) ** 2, axis=-1)
+        dist = jnp.where(dd <= radius * radius, dist, matching.MAX_DIST)
+        idx2, best, second = matching._best_two(dist)
+        return best, second, idx2, jnp.argmin(dist, axis=0)
+
+    pg = [np.asarray(o) for o in jax.jit(pallas_gated_raw)(jnp.asarray(d1))]
+    xg = [np.asarray(o) for o in jax.jit(xla_gated_raw)(jnp.asarray(d1))]
+    for name, p, x in zip(("best", "second", "idx", "col_argmin"), pg, xg):
+        assert np.array_equal(p, x), f"gated {name} diverges on hardware"
+    print("gated reductions bit-identical on hardware (radius=0.06)")
+
     # ~50 us ops need long chains against the ~30 ms readback drift
-    interleaved_ab({"pallas_match": pallas_op, "xla_match": xla_op},
+    interleaved_ab({"pallas_match": pallas_op, "xla_match": xla_op,
+                    "pallas_gated": pallas_gated, "xla_gated": xla_gated},
                    jnp.asarray(d1), n_lo=2, n_hi=202, label_w=14)
 
 

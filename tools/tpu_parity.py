@@ -139,9 +139,48 @@ def main():
     assert np.array_equal(np.asarray(b0), np.asarray(b1)), (
         "angle-sorted kernel: descriptor bits diverge")
 
+    # gated + ungated fused matcher vs the XLA dense-matrix reductions on
+    # hardware, with REAL demo descriptors (not synthetic noise): the
+    # production map-tracking config (gate_radius > 0) runs the gated
+    # kernel branch of matching.match_gated
+    from pislam_tpu import matching
+
+    rng = np.random.default_rng(7)
+    k = fc.max_keypoints
+    valid_q = cx != 0
+    uv_q = np.stack([codec.decode_x(jnp.asarray(cx)),
+                     codec.decode_y(jnp.asarray(cx))], 1).astype(np.float32)
+    uv_q = uv_q / np.float32([pc.stride, pc.padded_height]) - 0.5
+    perm = rng.permutation(k)
+    db, uv_db, valid_db = dx[perm], uv_q[perm] + rng.normal(
+        0, 0.02, (k, 2)).astype(np.float32), valid_q[perm]
+    for radius in (None, 0.06):
+        a = matching.expand_pm1(jnp.asarray(dx))
+        b = matching.expand_pm1(jnp.asarray(db))
+        args = (a, b, jnp.asarray(valid_q), jnp.asarray(valid_db))
+        if radius is not None:
+            args += (jnp.asarray(uv_q), jnp.asarray(uv_db), radius)
+        best, second, idx, carg = map(np.asarray, jax.jit(
+            pk.match_reduce, static_argnames=("radius",))(*args))
+        dist = matching.hamming_matrix(
+            jnp.asarray(dx), jnp.asarray(db),
+            jnp.asarray(valid_q), jnp.asarray(valid_db))
+        if radius is not None:
+            d2 = jnp.sum((jnp.asarray(uv_q)[:, None, :]
+                          - jnp.asarray(uv_db)[None, :, :]) ** 2, axis=-1)
+            dist = jnp.where(d2 <= radius * radius, dist, matching.MAX_DIST)
+        eidx, ebest, esecond = matching._best_two(dist)
+        ecarg = jnp.argmin(dist, axis=0)
+        tag = "ungated" if radius is None else f"gated(r={radius})"
+        assert np.array_equal(best, np.asarray(ebest)), f"{tag} best diverge"
+        assert np.array_equal(second, np.asarray(esecond)), (
+            f"{tag} second diverge")
+        assert np.array_equal(idx, np.asarray(eidx)), f"{tag} idx diverge"
+        assert np.array_equal(carg, np.asarray(ecarg)), f"{tag} carg diverge"
+
     print(f"parity OK: {int((cf != 0).sum())} features, descriptors bit-exact"
           " (pallas components, XLA fallback, production, fused, bucketed-"
-          "fused and angle-sorted-ORB paths)")
+          "fused, angle-sorted-ORB and gated/ungated match-reduce paths)")
 
     # xor-reduce over ALL descriptor words: a single-element probe would let
     # XLA slice the BRIEF matmul down to one row in intermediate iterations
