@@ -157,6 +157,27 @@ class VOConfig:
     # (tools/ab_vo_scale.py).
     scale_propagation: bool = False
     min_scale_matches: int = 10
+    # step-magnitude prior for map-PnP dropout frames (models/slam.py):
+    # when local-map PnP fails (too few inliers) the keyframe-relative
+    # essential pose places the frame at |t_rel| = 1 MAP UNIT from the
+    # keyframe -- a phantom step several times the true motion (measured
+    # on eval_seq2: 21/56 frames fell back; an ORACLE magnitude cut the
+    # online ATE 0.59 -> 0.35, so the magnitude IS the error term). With
+    # this on, RANSAC's direction is kept but the keyframe displacement
+    # is rescaled to recent keyframe-interval speed x frames elapsed
+    # (keyframe_step_prior -- derivable from SlamState alone, so the
+    # host loop and the device scan stay decision-identical). Default
+    # OFF: no realisable predictor matched the oracle across sequences
+    # (full A/B table in tools/ab_step_prior.py -- helps the held-out
+    # eval_seq2 post-closure 0.478 -> 0.428 but regresses eval_seq3
+    # 0.104 -> 0.160; prev-frame-relative, ungated-bootstrap and
+    # cap-only variants all measured worse).
+    step_magnitude_prior: bool = False
+    # maturity gate for the prior: during bootstrap the keyframe spacing
+    # IS the unit-norm convention (the map scale is still being defined
+    # by those baselines), so rescaling bootstrap steps fights the map's
+    # own scale; only fall back once this many keyframes exist.
+    step_prior_min_kf: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

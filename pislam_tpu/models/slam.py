@@ -192,6 +192,42 @@ def track_map_state(cfg: PislamConfig, lmap: kfs.LandmarkMap, feats: Features,
     return out["R"], out["t"], out["num_inliers"], assoc
 
 
+def keyframe_step_prior(store, num_kf, cap):
+    """Per-frame camera speed over the last keyframe interval (map units).
+
+    |c_kf[-1] - c_kf[-2]| / (frame gap) from the keyframe store alone, so
+    the host loop and the device scan compute the identical prior with no
+    extra carried state. 0 when fewer than two (valid) keyframes, which
+    disables the step-magnitude fallback (vo.step_magnitude_prior).
+    Keyframe poses are map-PnP-refined and windowed-BA'd, so this is the
+    most trustworthy speed estimate available at tracking time."""
+    sA = jnp.mod(num_kf - 1, cap)
+    sB = jnp.mod(num_kf - 2, cap)
+    cA = -(jnp.swapaxes(store.R[sA], -1, -2) @ store.t[sA][..., None])[..., 0]
+    cB = -(jnp.swapaxes(store.R[sB], -1, -2) @ store.t[sB][..., None])[..., 0]
+    gap = (store.frame_id[sA] - store.frame_id[sB]).astype(jnp.float32)
+    ok = (num_kf >= 2) & store.valid[sA] & store.valid[sB] & (gap > 0)
+    s = jnp.linalg.norm(cA - cB) / jnp.maximum(gap, 1.0)
+    return jnp.where(ok & jnp.isfinite(s), s, 0.0)
+
+
+def rescale_step_to_prior(R, t_cand, c_kf, d_target):
+    """Rescale the candidate pose's camera-centre displacement FROM THE
+    LAST KEYFRAME to ``d_target``, keeping RANSAC's measured direction:
+    c_new = c_kf + d * (c_cand - c_kf)/|c_cand - c_kf| (for the unit-norm
+    candidate the direction is exactly -R^T t_rel), returned as the new
+    translation -R @ c_new. Anchoring at the keyframe (not the previous
+    frame) keeps the host loop and the device scan decision-identical:
+    the scan's carried previous pose resets to the last keyframe at every
+    chunk boundary, so a prev-frame-relative form diverges at chunk
+    size 1 (measured: 0.67 map units at the first fallback frame)."""
+    c_cand = -(jnp.swapaxes(R, -1, -2) @ t_cand[..., None])[..., 0]
+    step = c_cand - c_kf
+    n = jnp.linalg.norm(step)
+    c_new = c_kf + step * (d_target / jnp.maximum(n, 1e-9))
+    return -(R @ c_new[..., None])[..., 0]
+
+
 class KeyframeSLAM:
     def __init__(self, cfg: PislamConfig, fx, fy, cx, cy, features_fn=None,
                  keyframe_min_inliers: int = 60, keyframe_max_gap: int = 10,
@@ -439,6 +475,7 @@ class KeyframeSLAM:
             R = Rrel @ last["R"]
             t = Rrel @ last["t"] + trel
 
+            used_pnp = False
             if self.cfg.map.track_map and self._num_lm > 0:
                 with m.timer("map_track"):
                     Rm, tm, n_map_d, assoc = self._track_map(
@@ -451,6 +488,23 @@ class KeyframeSLAM:
                         and np.isfinite(tm).all()):
                     R, t = Rm, tm
                     map_idx = assoc
+                    used_pnp = True
+            if (self.cfg.vo.step_magnitude_prior and not used_pnp
+                    and self._num_kf >= self.cfg.vo.step_prior_min_kf):
+                # map-PnP dropout: replace the phantom |t_rel| = 1
+                # keyframe displacement with the recent keyframe-interval
+                # speed x frames elapsed (see VOConfig docs)
+                s_prior = float(keyframe_step_prior(
+                    self._st.store, self._num_kf, self.capacity))
+                if s_prior > 0:
+                    d = s_prior * (self._since_kf + 1)
+                    t_new = np.asarray(rescale_step_to_prior(
+                        jnp.asarray(R), jnp.asarray(t),
+                        jnp.asarray(-last["R"].T @ last["t"]),
+                        jnp.float32(d)))
+                    if np.isfinite(t_new).all():
+                        t = t_new
+                        m.count("step_prior_fallbacks")
 
         self._since_kf += 1
         self.trajectory.append(-R.T @ t)

@@ -39,7 +39,8 @@ from ..config import PislamConfig
 from ..frontend import _extract_impl
 from ..geometry import ransac
 from ..ops import nms, pyramid as pyr_ops
-from .slam import SlamState, insert_keyframe_state, track_map_state
+from .slam import (SlamState, insert_keyframe_state, keyframe_step_prior,
+                   rescale_step_to_prior, track_map_state)
 from .visual_odometry import normalise_points
 
 
@@ -116,8 +117,21 @@ def make_slam_track_scan(cfg: PislamConfig, fx: float, fy: float,
                 ang = jnp.degrees(jnp.arccos(jnp.clip(cosang, -1.0, 1.0)))
                 lost |= ang > vc.max_rel_rotation_deg
             trel = out["t"] / jnp.maximum(jnp.linalg.norm(out["t"]), 1e-9)
+            t_kf = (out["R"] @ store.t[slot][:, None])[:, 0]
             R = out["R"] @ store.R[slot]
-            t = (out["R"] @ store.t[slot][:, None])[:, 0] + trel
+            t = t_kf + trel
+            if vc.step_magnitude_prior:
+                # map-PnP dropout fallback (matches KeyframeSLAM.process):
+                # candidate keyframe displacement rescaled to the recent
+                # keyframe-interval speed x frames elapsed; applied below
+                # only when the map pose is rejected
+                s_prior = keyframe_step_prior(store, st.counters[0], cap)
+                c_kf = -(store.R[slot].T @ store.t[slot][:, None])[:, 0]
+                d = s_prior * (st.counters[4] + 1).astype(jnp.float32)
+                t_fb = rescale_step_to_prior(R, t, c_kf, d)
+                fb_ok = ((s_prior > 0)
+                         & (st.counters[0] >= vc.step_prior_min_kf)
+                         & jnp.all(jnp.isfinite(t_fb)))
             R = jnp.where(lost, prev_R, R)
             t = jnp.where(lost, prev_t, t)
 
@@ -140,8 +154,11 @@ def make_slam_track_scan(cfg: PislamConfig, fx: float, fy: float,
                 t = jnp.where(use, tm, t)
                 map_idx = jnp.where(use, assoc, -1)
             else:
+                use = jnp.bool_(False)
                 n_map = jnp.int32(0)
                 map_idx = jnp.full(K, -1, jnp.int32)
+            if vc.step_magnitude_prior:
+                t = jnp.where(~lost & ~use & fb_ok, t_fb, t)
 
             since = st.counters[4] + 1
             st = st._replace(counters=st.counters.at[4].set(since))

@@ -64,6 +64,39 @@ def test_chunk1_matches_loop():
                                np.stack(loop.trajectory), atol=5e-2)
 
 
+def test_chunk1_matches_loop_step_prior():
+    """The step-magnitude-prior fallback (vo.step_magnitude_prior, default
+    off) is mirrored in the host loop and the device scan; with it ON the
+    two must still make identical decisions and near-identical poses."""
+    import dataclasses as dc
+
+    cfg, frames, intr, _ = _load(12)
+    # min_kf=2: the production maturity gate (4) admits no fallback in the
+    # first 12 frames of eval_seq; this test checks DECISION PARITY of the
+    # mirrored fallback code, so let it fire during bootstrap here
+    cfg = dc.replace(cfg, vo=dc.replace(cfg.vo, step_magnitude_prior=True,
+                                        step_prior_min_kf=2))
+
+    from pislam_tpu.utils.metrics import Metrics
+
+    m = Metrics()
+    loop = KeyframeSLAM(cfg, *intr, keyframe_min_inliers=60,
+                        keyframe_max_gap=3, seed=7, metrics=m)
+    infos = [loop.process(jnp.asarray(f)) for f in frames]
+    # the fallback must actually fire or this parity test tests nothing
+    assert m._counters.get("step_prior_fallbacks", 0) > 0
+
+    scan = _make(cfg, intr)
+    outs = [scan.process_chunk(f[None]) for f in frames]
+
+    for i, (info, out) in enumerate(zip(infos, outs)):
+        assert bool(out["keyframe"][0]) == bool(info["keyframe"]), i
+        assert int(out["num_inliers"][0]) == int(info["num_inliers"]), i
+    assert scan.keyframe_frames == loop.keyframe_frames
+    np.testing.assert_allclose(np.stack(scan.trajectory),
+                               np.stack(loop.trajectory), atol=5e-2)
+
+
 def test_chunked_tracking_accuracy():
     """Chunks of 8 (BA at chunk boundaries): ATE stays close to the loop."""
     cfg, frames, intr, gt = _load(24)
