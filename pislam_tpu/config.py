@@ -229,6 +229,18 @@ class MapConfig:
     # trajectory lengths, so the default stays OFF; revisit for long
     # sessions with large viewpoint drift.
     refresh_descriptors: bool = False
+    # insert a keyframe when local-map PnP drops below min_map_inliers
+    # while frame-to-frame tracking still holds (the ORB-SLAM "tracking
+    # weak -> insert" criterion): triangulates fresh landmarks exactly
+    # where map coverage thinned, so subsequent frames PnP again instead
+    # of chaining unit-norm fallback steps (the eval_seq2 failure mode,
+    # tools/ab_step_prior.py). Measured (post-closure keyframe ATE): a
+    # strict Pareto win -- held-out eval_seq2 0.478 -> 0.426 (online
+    # 0.59 -> 0.43), eval_seq and eval_seq3 bit-identical (their dropout
+    # frames already insert via the inlier/gap rules) -- hence default ON
+    # unlike the pose-rescaling alternatives, which traded one sequence
+    # against another.
+    keyframe_on_map_dropout: bool = True
     # optimise the loop-closure pose graph over Sim(3) instead of SE(3):
     # each keyframe carries a scale DOF so monocular scale drift is
     # absorbed as scale change along the chain instead of being forced

@@ -509,9 +509,14 @@ class KeyframeSLAM:
         self._since_kf += 1
         self.trajectory.append(-R.T @ t)
 
+        map_dropout = (self.cfg.map.keyframe_on_map_dropout
+                       and self.cfg.map.track_map and self._num_lm > 0
+                       and not lost
+                       and n_map < self.cfg.map.min_map_inliers)
         make_kf = (self.mapping and not lost
                    and (n_inl < self.keyframe_min_inliers
-                        or self._since_kf >= self.keyframe_max_gap))
+                        or self._since_kf >= self.keyframe_max_gap
+                        or map_dropout))
         if make_kf:
             with m.timer("insert_ba"):
                 self._insert_keyframe(feats, pts, R.astype(np.float32),

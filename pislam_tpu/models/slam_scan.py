@@ -164,6 +164,11 @@ def make_slam_track_scan(cfg: PislamConfig, fx: float, fy: float,
             st = st._replace(counters=st.counters.at[4].set(since))
             make_kf = (~lost & ((n_inl < keyframe_min_inliers)
                                 | (since >= keyframe_max_gap)))
+            if cfg.map.keyframe_on_map_dropout and cfg.map.track_map:
+                # ORB-SLAM "tracking weak -> insert" (matches the host
+                # loop): map coverage collapsed but tracking holds
+                make_kf |= (~lost & (st.counters[1] > 0)
+                            & (n_map < cfg.map.min_map_inliers))
 
             def insert(st):
                 stn = insert_keyframe_state(
