@@ -1,22 +1,32 @@
-"""A/B: loop-closure edge scale source -- current-estimate vs map-refined.
+"""A/B: loop-closure edge construction -- estimate-scale vs map-refined
+vs the production metric-PnP edge (round-3 verdict task 1c).
 
-The loop edge's translation magnitude cannot come from the monocular
-RANSAC measurement (unit norm), so try_close_loop scales it by the current
-estimates' baseline |c_cur - c_old| (models/slam.py). The obvious upgrade
--- refine the measured loop pose against the landmark map with motion-only
-BA and build the edge from refined absolute poses -- was measured here and
-NOT adopted:
+Three edge sources for the same detected loop, pose-graph-only ATE
+(the full pipeline additionally runs global BA + cull afterwards):
+  estimate : rotation from RANSAC, translation scaled by the current
+             estimates' baseline |c_cur - c_old|
+  refined  : loop pose refined against the CURRENT landmark map
+             (motion-only BA) -- measures as a near-no-op historically,
+             because the map has absorbed the drift
+  pnp      : PRODUCTION (try_close_loop since round 3): metric PnP
+             against the OLD keyframe's landmarks, edge weighted by its
+             inlier support
 
-    eval_seq   pre 0.072  estimate-scale post 0.045  map-refined post 0.075
-    eval_seq2  pre 0.154  estimate-scale post 0.196  map-refined post 0.154
+RESULT (2026-08-20, real-texture sequences, keyframe_on_map_dropout on,
+post-graph keyframe ATE; full-pipeline numbers are in EVAL_r04.json):
+  eval_seq   pre 0.108: estimate 0.104  refined 0.109  pnp 0.103
+  eval_seq2  pre 0.394: estimate 0.430  refined 0.422  pnp 0.426
+  eval_seq3  pre 0.110: estimate 0.131  refined 0.107  pnp 0.146
+All three constructions are equivalent within noise on every sequence --
+on eval_seq2 ALL of them worsen post-graph because the remaining drift
+sits below the edge's own measured error (tools/diag_loop_edge.py), and
+on eval_seq/eval_seq3 the pipeline's global BA does the real work
+(0.087 / 0.104 end states). The edge construction is NOT the lever;
+production keeps the pnp edge for its metric scale and support weight.
 
-The map-refined edge is a no-op on both sequences (post ~= pre): the map
-itself has absorbed the drift, so PnP against it converges back to the
-drifted pose and the edge carries no correction. The estimate-scale edge
-genuinely corrects rotation-dominated drift (eval_seq) but can
-over-correct on a held-out loop (eval_seq2); the production answer is the
-service pipeline -- pose graph, then global BA + cull, which recovers the
-over-correction (tools/eval_ate.py reports both stages).
+Historical record (round 2, procedural texture, pre-PnP-edge):
+  eval_seq pre 0.072 estimate 0.045 refined 0.075; eval_seq2 pre 0.154
+  estimate 0.196 refined 0.154.
 
 Run: python tools/ab_loop_edge.py [--cpu]
 """
@@ -36,7 +46,7 @@ from pislam_tpu.utils.cache import enable_compile_cache
 enable_compile_cache()
 
 
-def run(seq, refine):
+def run(seq, mode):
     import jax.numpy as jnp
 
     from eval_ate import slam_config
@@ -74,7 +84,8 @@ def run(seq, refine):
     scale = float(np.linalg.norm(
         (-R_cur.T @ t_cur) - (-R_old.T @ t_old)))
     used = "estimate-scale"
-    if refine and slam._num_lm > 0:
+    weight = 1.0
+    if mode == "refined" and slam._num_lm > 0:
         R_meas = (R_rel @ R_old).astype(np.float32)
         t_meas = (R_rel @ t_old + t_unit * scale).astype(np.float32)
         Rm, tm, nmap, _ = slam._track_map(
@@ -84,12 +95,27 @@ def run(seq, refine):
             R_edge = R_old.T @ np.asarray(Rm)
             t_edge = R_old.T @ (np.asarray(tm) - t_old)
             used = f"map-refined({int(nmap)} inliers)"
+    elif mode == "pnp":
+        # the PRODUCTION edge (try_close_loop since round 3): metric PnP
+        # of the current view against the OLD keyframe's landmarks, edge
+        # weighted by its inlier support
+        R_meas = (R_rel @ R_old).astype(np.float32)
+        t_meas = (R_rel @ t_old + t_unit * scale).astype(np.float32)
+        pnp_pose = slam._loop_pnp_pose(
+            old_slot, desc, kvalid, pts, R_meas, t_meas,
+            min_inliers=max(cfg.map.min_map_inliers, 20))
+        if pnp_pose is not None:
+            R_meas, t_meas, n_sup = pnp_pose
+            R_edge = R_old.T @ np.asarray(R_meas)
+            t_edge = R_old.T @ (np.asarray(t_meas) - t_old)
+            weight = float(n_sup)
+            used = f"metric-pnp({int(n_sup)} inliers)"
     if used == "estimate-scale":
         t_rel = t_unit * scale
         R_edge = R_old.T @ R_rel @ R_old
         t_edge = R_old.T @ (R_rel @ t_old + t_rel - t_old)
     slam.optimise_pose_graph(
-        loop_edges=[(idx, slam._num_kf - 1, R_edge, t_edge)])
+        loop_edges=[(idx, slam._num_kf - 1, R_edge, t_edge, weight)])
     post = ate_rmse(slam.keyframe_positions(), gtk)
     print(f"{os.path.basename(seq)} [{used}]: kf ATE pre {pre:.3f} -> "
           f"post {post:.3f} (loop -> kf {idx})")
@@ -103,9 +129,10 @@ def main():
         os.environ["JAX_PLATFORMS"] = "cpu"
         jax.config.update("jax_platforms", "cpu")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for seq in ("data/eval_seq.npz", "data/eval_seq2.npz"):
-        for refine in (False, True):
-            run(os.path.join(root, seq), refine)
+    for seq in ("data/eval_seq.npz", "data/eval_seq2.npz",
+                "data/eval_seq3.npz"):
+        for mode in ("estimate", "refined", "pnp"):
+            run(os.path.join(root, seq), mode)
 
 
 if __name__ == "__main__":
