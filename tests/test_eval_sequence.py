@@ -125,6 +125,50 @@ def test_high_drift_sequence_slam():
     assert post < 0.16, f"post-closure keyframe ATE {post:.4f}"
 
 
+def test_long_sequence_eviction_slam():
+    """The 224-frame double-loop (eval_seq4, ~10.9 m): keyframe inserts
+    exceed the 64-slot ring, so EVICTION, landmark churn and
+    closure-after-eviction run at eval level (SURVEY.md section 5's
+    map-scaling analog). Tracking must survive the whole session, the
+    final revisit must close against a SURVIVING keyframe (the original
+    anchor, ordinal 0, has been evicted -- recorded closure target is
+    ordinal 39), and the end state must stay in family (recorded: pre
+    0.414 -> post 0.424 on 10.91 m, 3.9% of path)."""
+    d = np.load(os.path.join(DATA_DIR, "eval_seq4.npz"))
+    assert d["frames"].shape == (224, 256, 384)
+
+    from eval_ate import slam_config
+
+    frames, Rs, ts = d["frames"], d["Rs"], d["ts"]
+    gt = np.stack([-R.T @ t for R, t in zip(Rs, ts)])
+    cfg = slam_config(384, 256)
+    slam = KeyframeSLAM(cfg, float(d["fx"]), float(d["fy"]),
+                        float(d["cx"]), float(d["cy"]),
+                        keyframe_min_inliers=60, keyframe_max_gap=3)
+    for f in frames:
+        slam.process(jnp.asarray(f))
+    # the ring is full AND more keyframes were inserted than it holds
+    assert slam.num_keyframes == cfg.map.keyframe_capacity
+    assert slam._num_kf > cfg.map.keyframe_capacity, slam._num_kf
+    assert slam.frames_lost == 0, slam.frames_lost
+    gtk = gt[np.asarray(slam.keyframe_frames)]
+    pre = ate_rmse(slam.keyframe_positions(), gtk)
+    loop = slam.try_close_loop(min_matches=40, exclude_recent=3)
+    # closure found a surviving target; the evicted ordinal 0 is gone
+    surviving = [v.index for v in slam.keyframes]
+    assert loop in surviving, (loop, surviving[:5])
+    assert loop > 2, loop
+    if loop >= 0:
+        slam.global_ba()
+        slam.cull_landmarks()
+    post = ate_rmse(slam.keyframe_positions(), gtk)
+    path = float(np.linalg.norm(np.diff(gt, axis=0), axis=1).sum())
+    assert path > 10.0
+    assert pre < 0.55, f"pre-closure keyframe ATE {pre:.4f}"
+    assert post < 0.55, f"post-closure keyframe ATE {post:.4f}"
+    assert post < pre + 0.05, (pre, post)
+
+
 def _check_regenerates(variant, npz_name, spot_frames):
     """The generator is deterministic: the committed artifact is
     reproducible (auditable) from the reference PNG + pure numpy."""
@@ -151,3 +195,7 @@ def test_sequence2_regenerates_identically():
 
 def test_sequence3_regenerates_identically():
     _check_regenerates("c", "eval_seq3.npz", (0, 45, 87))
+
+
+def test_sequence4_regenerates_identically():
+    _check_regenerates("d", "eval_seq4.npz", (0, 111, 223))

@@ -68,6 +68,23 @@ def trajectory_b(n=56):
     return rolls, sxs, dzs
 
 
+def trajectory_d(n=224):
+    """Long-session probe: TWO full out-and-back passes (~11 m path,
+    mirroring the reference's de-facto 200-frame benchmark length,
+    reference README.md:109-112). The camera revisits the start view at
+    mid-sequence AND at the end, and at keyframe_max_gap=3 the run
+    inserts ~75+ keyframes -- past the default 64-slot ring, so keyframe
+    EVICTION, landmark churn and closure-after-eviction are exercised at
+    eval level (the 'long-context' analog of SURVEY.md section 5: map
+    scaling under bounded state)."""
+    i = np.arange(n)
+    ph = i / (n - 1)
+    sxs = 1.2 * np.sin(4 * np.pi * ph)
+    rolls = np.deg2rad(20.0) * np.sin(4 * np.pi * ph)
+    dzs = 0.9 * np.sin(2 * np.pi * ph) ** 2
+    return rolls, sxs, dzs
+
+
 def trajectory_c(n=88):
     """High-drift closure probe: a double-length figure sweep -- full
     +-1.4 m lateral period, three roll half-periods (+-20 degrees), a
@@ -113,6 +130,7 @@ VARIANTS = {
     "a": ("eval_seq.npz", 21, trajectory, 0, 32),
     "b": ("eval_seq2.npz", 5, trajectory_b, 16, 0),
     "c": ("eval_seq3.npz", 9, trajectory_c, 32, 16),
+    "d": ("eval_seq4.npz", 13, trajectory_d, 8, 24),
 }
 
 # plane depths: pushed back from the render defaults (8, 4) so the
