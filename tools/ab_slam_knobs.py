@@ -1,0 +1,83 @@
+"""Cost/quality tradeoff table for the SLAM tracking knobs.
+
+Accuracy (this script, CPU, deterministic) x speed (the same variants
+interleaved on the chip via the tracking-scan chain, bench_slam
+methodology) for the production knobs a deployment would reach for.
+
+RESULTS (2026-08-20; accuracy = post-closure keyframe ATE
+tuning/held-out-b/held-out-c; speed = ms/frame on-chip 384x256 scan,
+interleaved, AB_REPS=16, base that run 0.766 ms):
+
+  variant    accuracy (a / b / c)          speed     verdict
+  base       0.087 / 0.426 / 0.104         0.766 ms  production
+  ransac128  0.087(bit-eq) / 0.480 / 0.131 0.737 ms  REJECT: -4% time,
+                                                     held-out regresses
+  pnp4       0.107 / 0.481 / 0.323         0.706 ms  REJECT: -8% time,
+                                                     regresses everywhere
+  kp384      0.283 / 0.444 / 0.470         0.787 ms  REJECT: SLOWER and
+                                                     much worse (fewer
+                                                     keypoints starve the
+                                                     tracker; padded
+                                                     shapes don't shrink)
+  no_map     (VO-only drift)               0.547 ms  map PnP + gated
+                                                     matching = 0.22
+                                                     ms/frame (29%) --
+                                                     the accuracy budget
+
+Every cheaper knob buys <= 8% time for a held-out accuracy loss, so the
+defaults stand; the table is the evidence. The 0.22 ms map-tracking
+share is the honest optimization target if tracking ever needs to be
+faster (fuse projection gating with the PnP residual pass, or shrink
+the landmark block actually matched per frame).
+
+Usage: python tools/ab_slam_knobs.py eval_seq,eval_seq2,eval_seq3
+"""
+import os, sys, json, dataclasses as dc
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import numpy as np, jax.numpy as jnp
+from eval_ate import slam_config
+from pislam_tpu.models.slam import KeyframeSLAM
+from pislam_tpu.evaluation import ate_rmse
+
+VARIANTS = {
+    "base": {},
+    "ransac128": {"vo": {"ransac_iters": 128}},
+    "pnp4": {"map": {"pnp_iters": 4}},
+    "kp384": {"frontend": {"max_keypoints": 384}},
+}
+
+def apply(cfg, delta):
+    for sect, kv in delta.items():
+        cfg = dc.replace(cfg, **{sect: dc.replace(getattr(cfg, sect), **kv)})
+    return cfg
+
+seqs = sys.argv[1].split(",") if len(sys.argv) > 1 else ["eval_seq"]
+for seq in seqs:
+    d = np.load(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data", f"{seq}.npz"))
+    frames, Rs, ts = d["frames"], d["Rs"], d["ts"]
+    fx, fy, cx, cy = (float(d["fx"]), float(d["fy"]), float(d["cx"]), float(d["cy"]))
+    gt = np.stack([-R.T @ t for R, t in zip(Rs, ts)])
+    h, w = frames.shape[1:]
+    for name, delta in VARIANTS.items():
+        cfg = apply(slam_config(w, h), delta)
+        slam = KeyframeSLAM(cfg, fx, fy, cx, cy, keyframe_min_inliers=60,
+                            keyframe_max_gap=3)
+        for f in frames:
+            slam.process(jnp.asarray(f))
+        gtk = gt[np.asarray(slam.keyframe_frames)]
+        slam_ate = float(ate_rmse(np.stack(slam.trajectory), gt))
+        pre = float(ate_rmse(slam.keyframe_positions(), gtk))
+        loop = slam.try_close_loop(min_matches=40, exclude_recent=3)
+        if loop >= 0:
+            slam.global_ba(); slam.cull_landmarks()
+        post = float(ate_rmse(slam.keyframe_positions(), gtk))
+        print(json.dumps({"seq": seq, "variant": name,
+                          "slam_ate": round(slam_ate, 4),
+                          "kf_pre": round(pre, 4),
+                          "kf_post": round(post, 4)}), flush=True)
