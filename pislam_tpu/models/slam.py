@@ -512,7 +512,13 @@ class KeyframeSLAM:
         map_dropout = (self.cfg.map.keyframe_on_map_dropout
                        and self.cfg.map.track_map and self._num_lm > 0
                        and not lost
-                       and n_map < self.cfg.map.min_map_inliers)
+                       and n_map < self.cfg.map.min_map_inliers
+                       # inserting only helps if coverage can actually
+                       # grow: with the landmark table saturated the rule
+                       # just churns keyframes (measured: chunked service
+                       # on the 224-frame sequence inserted ~175 keyframes
+                       # and regressed ATE once landmarks hit capacity)
+                       and self._num_lm < self.cfg.map.max_landmarks)
         make_kf = (self.mapping and not lost
                    and (n_inl < self.keyframe_min_inliers
                         or self._since_kf >= self.keyframe_max_gap

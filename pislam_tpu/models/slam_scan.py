@@ -166,9 +166,12 @@ def make_slam_track_scan(cfg: PislamConfig, fx: float, fy: float,
                                 | (since >= keyframe_max_gap)))
             if cfg.map.keyframe_on_map_dropout and cfg.map.track_map:
                 # ORB-SLAM "tracking weak -> insert" (matches the host
-                # loop): map coverage collapsed but tracking holds
+                # loop): map coverage collapsed but tracking holds, and
+                # the landmark table can still grow (saturated-table
+                # inserts just churn keyframes -- see the host loop)
                 make_kf |= (~lost & (st.counters[1] > 0)
-                            & (n_map < cfg.map.min_map_inliers))
+                            & (n_map < cfg.map.min_map_inliers)
+                            & (st.counters[1] < cfg.map.max_landmarks))
 
             def insert(st):
                 stn = insert_keyframe_state(
