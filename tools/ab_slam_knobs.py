@@ -25,7 +25,14 @@ interleaved, AB_REPS=16, base that run 0.766 ms):
                                                      the accuracy budget
 
 Every cheaper knob buys <= 8% time for a held-out accuracy loss, so the
-defaults stand; the table is the evidence. The 0.22 ms map-tracking
+defaults stand; the table is the evidence.
+
+Related negatives measured the same day: min_map_inliers 25 -> 20/15/10
+regresses monotonically on the tuning sequence (0.087 -> 0.10/0.10/0.22
+post-closure), and a BOOTSTRAP-SCOPED lowering (threshold 15 only while
+num_kf < 4, then 25) also regresses (tuning 0.087 -> 0.099, eval_seq2
+0.426 -> 0.469, eval_seq3 unchanged) -- low-inlier PnP poses are aliased
+garbage at any phase, not a bootstrap-only artifact. The 0.22 ms map-tracking
 share is the honest optimization target if tracking ever needs to be
 faster (fuse projection gating with the PnP residual pass, or shrink
 the landmark block actually matched per frame).
