@@ -285,6 +285,37 @@ def cull_one_keyframe(store: KeyframeStore, lmap: LandmarkMap,
     return store2, lmap2, obs2, jnp.where(found, slot.astype(jnp.int32), -1)
 
 
+def evict_stale_landmarks(store: KeyframeStore, lmap: LandmarkMap,
+                          obs: ObservationTable, need: jax.Array):
+    """Invalidate the ``need`` landmarks with the OLDEST last observation
+    (pure, fixed-shape). ORB-SLAM keeps its map fresh by culling points
+    that stopped being observed; here staleness = the highest insertion
+    ordinal among a landmark's observing keyframes (one scatter-max over
+    the observation table), so landmarks still seen by recent keyframes
+    are naturally protected. Used by long-session maintenance when the
+    landmark table saturates: without eviction a full table disables
+    triangulation (and the keyframe-on-map-dropout rule) for the rest of
+    the session. Returns (lmap, obs, n_dropped).
+
+    need <= 0 is a no-op. The caller should follow with compact_map to
+    reclaim the freed rows for the cursors.
+    """
+    L = lmap.capacity
+    rows = obs.valid
+    last = jnp.full(L, -1, jnp.int32).at[
+        jnp.where(rows, obs.lm, L)].max(
+        jnp.where(rows, store.ordinal[obs.kf], -1), mode="drop")
+    # oldest-first rank among VALID landmarks (invalid sort last)
+    key = jnp.where(lmap.valid, last, jnp.int32(2 ** 31 - 1))
+    order = jnp.argsort(key, stable=True)
+    rank = jnp.zeros(L, jnp.int32).at[order].set(
+        jnp.arange(L, dtype=jnp.int32))
+    drop = lmap.valid & (rank < jnp.maximum(need, 0))
+    lmap2 = lmap._replace(valid=lmap.valid & ~drop)
+    obs2 = obs._replace(valid=obs.valid & ~drop[obs.lm])
+    return lmap2, obs2, jnp.sum(drop.astype(jnp.int32))
+
+
 def compact_map(lmap: LandmarkMap, obs: ObservationTable):
     """Re-pack live landmarks and observation rows to the front (pure).
 

@@ -785,6 +785,20 @@ class KeyframeSLAM:
             cam_valid=jnp.asarray(cam_valid), pt_valid=jnp.asarray(pt_valid))
         out, _ = ba.bundle_adjust(prob, iters=iters, damping=bc.damping)
 
+        # failure detection (same philosophy as tracking): a degenerate
+        # Schur solve (rank-deficient after heavy culling/eviction, or
+        # bf16-matmul conditioning on TPU) must not poison the map --
+        # reject the whole update rather than commit NaNs (observed once:
+        # chunked long-session service on the chip went NaN through an
+        # unguarded refinement and crashed the final eval)
+        outR = np.asarray(out.R[:len(slots)])
+        outt = np.asarray(out.t[:len(slots)])
+        outX = np.asarray(out.points[:len(lm_slots)])
+        if not (np.isfinite(outR).all() and np.isfinite(outt).all()
+                and np.isfinite(outX).all()):
+            self.metrics.count("ba_nonfinite_rejected")
+            return
+
         sl = jnp.asarray(np.int32(slots))
         store = st.store._replace(
             R=st.store.R.at[sl].set(out.R[:len(slots)]),
@@ -815,6 +829,31 @@ class KeyframeSLAM:
         self._st = st._replace(lmap=lmap, obs=obs)
         self.metrics.count("landmarks_culled", culled)
         return culled
+
+    def evict_stale_landmarks(self, min_free: int = 0):
+        """Long-session map freshness: when fewer than ``min_free``
+        landmark slots are free, invalidate the landmarks whose LAST
+        observation is oldest until ``min_free`` are free
+        (backend/keyframes.evict_stale_landmarks). A saturated landmark
+        table silently disables triangulation -- and with it the
+        keyframe-on-map-dropout rule -- for the rest of the session
+        (measured on the 224-frame sequence: the chunked service pinned
+        at 8192/8192 from mid-run). Follow with compact() to reclaim the
+        slots. Returns the number evicted."""
+        st = self._st
+        # count from the mask, not _num_lm: culling invalidates rows
+        # without moving the cursor until compact() runs
+        free = int(st.lmap.capacity) - int(jnp.sum(st.lmap.valid))
+        need = min_free - free
+        if need <= 0:
+            return 0
+        with self.metrics.timer("evict_stale"):
+            lmap, obs, n = jax.jit(kfs.evict_stale_landmarks)(
+                st.store, st.lmap, st.obs, jnp.int32(need))
+            n = int(n)
+        self._st = st._replace(lmap=lmap, obs=obs)
+        self.metrics.count("landmarks_evicted", n)
+        return n
 
     # -- covisibility / keyframe culling / compaction ------------------------
 
@@ -1283,6 +1322,12 @@ class KeyframeSLAM:
             edge_weight=jnp.asarray(np.float32(ew)))
         sim3 = bool(self.cfg.map.pose_graph_sim3)
         g2, _ = pose_graph.optimize(g, iters=8, damping=1e-5, sim3=sim3)
+        if not (np.isfinite(np.asarray(g2.R)).all()
+                and np.isfinite(np.asarray(g2.t)).all()):
+            # degenerate normal equations (see _run_ba's guard): keep the
+            # current poses rather than commit a NaN graph
+            self.metrics.count("pose_graph_nonfinite_rejected")
+            return
         if sim3:
             # recover SE(3) keyframe poses from the Sim(3) solution the
             # ORB-SLAM way: corrected S_iw = (s_i R_i, t_i) gives
@@ -1346,6 +1391,13 @@ class KeyframeSLAM:
     @property
     def num_keyframes(self) -> int:
         return min(self._num_kf, self.capacity) - len(self._culled_slots)
+
+    @property
+    def keyframes_inserted(self) -> int:
+        """Total keyframes ever inserted (monotonic; unlike num_keyframes
+        it keeps growing after the ring fills or culling removes slots --
+        the correct clock for periodic maintenance cadences)."""
+        return self._num_kf
 
     @property
     def num_landmarks(self) -> int:

@@ -123,15 +123,27 @@ def main(argv=None):
                     help="per-frame JSON telemetry on stderr")
     ap.add_argument("--no-loop-close", action="store_true")
     ap.add_argument("--loop-every", type=int, default=0,
-                    help="attempt loop closure every N new keyframes "
+                    help="attempt loop closure every N inserted keyframes "
                          "DURING the run (continuous SLAM), not only at "
                          "the end; each successful closure optimises the "
-                         "pose graph immediately")
+                         "pose graph immediately. Use only when expected "
+                         "drift well exceeds the loop-edge noise "
+                         "(tools/diag_loop_edge.py): at the noise floor, "
+                         "periodic closures measurably REGRESS the "
+                         "trajectory (224-frame sequence: end-of-run-only "
+                         "0.61 vs every-16-keyframes 0.67-0.79)")
     ap.add_argument("--cull-every", type=int, default=0,
                     help="every N new keyframes: cull redundant keyframes "
                          "(ORB-SLAM rule) + badly-reprojecting landmarks, "
-                         "then compact the map stores to reclaim capacity "
+                         "evict the stalest landmarks when the table is "
+                         "near capacity (--min-free-landmarks), then "
+                         "compact the map stores to reclaim capacity "
                          "(long-session map maintenance)")
+    ap.add_argument("--min-free-landmarks", type=int, default=512,
+                    help="freshness floor for --cull-every maintenance: "
+                         "keep at least this many landmark slots free so "
+                         "triangulation never starves on long sessions "
+                         "(0 disables staleness eviction)")
     ap.add_argument("--traj-out", help="write TUM-format trajectory here")
     ap.add_argument("--map-out",
                     help="write the final landmark map + keyframe path as "
@@ -227,6 +239,7 @@ def main(argv=None):
     last_loop_kf = [0]
     last_cull_kf = [0]
     kf_culled = [0]
+    lm_evicted = [0]
 
     def step(state, item):
         slam.set_state(state)
@@ -238,17 +251,33 @@ def main(argv=None):
         else:
             out = slam.process(jnp.asarray(item))
             poses.append((out["pose_R"], out["pose_t"]))
+        # cadence by TOTAL inserts, not the live count: num_keyframes
+        # saturates at the ring capacity, which silently stopped all
+        # mid-run maintenance exactly when long sessions need it
+        # (measured on the 224-frame sequence: maintenance froze once
+        # the 64-slot ring filled)
         if (args.loop_every
-                and slam.num_keyframes - last_loop_kf[0] >= args.loop_every
+                and slam.keyframes_inserted - last_loop_kf[0]
+                >= args.loop_every
                 and slam.num_keyframes >= 5):
-            last_loop_kf[0] = slam.num_keyframes
+            last_loop_kf[0] = slam.keyframes_inserted
             if slam.try_close_loop() >= 0:
                 loops_closed[0] += 1
+                # deliberately NO global BA here (unlike the end-of-run
+                # closure): re-converging the map against a noise-floor
+                # closure LOCKS IN the over-correction -- measured on the
+                # 224-frame sequence, BA-after-each-closure regressed ATE
+                # on both CPU (0.67 -> 0.78) and TPU; the end-of-run BA
+                # refines once against the final graph instead
         if (args.cull_every and not args.localization_only
-                and slam.num_keyframes - last_cull_kf[0] >= args.cull_every):
-            last_cull_kf[0] = slam.num_keyframes
+                and slam.keyframes_inserted - last_cull_kf[0]
+                >= args.cull_every):
+            last_cull_kf[0] = slam.keyframes_inserted
             kf_culled[0] += len(slam.cull_keyframes(max_cull=2))
             slam.cull_landmarks()
+            if args.min_free_landmarks:
+                lm_evicted[0] += slam.evict_stale_landmarks(
+                    min_free=args.min_free_landmarks)
             slam.compact()
         if args.metrics:
             metrics.emit(frames_done=len(poses))
@@ -310,10 +339,18 @@ def main(argv=None):
               "relocalisations": slam.relocalisations,
               "loops_closed_midrun": loops_closed[0],
               "keyframes_culled": kf_culled[0],
+              "landmarks_evicted": lm_evicted[0],
               "loop_closed_to_kf": int(loop)}
     if gt is not None and skipped == 0 and len(poses) == n_frames:
         est = np.stack([-R.T @ t for R, t in poses])
-        report["ate_rmse"] = round(float(ate_rmse(est, gt)), 4)
+        if np.isfinite(est).all():
+            report["ate_rmse"] = round(float(ate_rmse(est, gt)), 4)
+        else:
+            # never crash the summary on a poisoned trajectory -- report
+            # the poison instead (the aligner's SVD rejects NaNs)
+            report["ate_rmse"] = None
+            report["nonfinite_pose_frames"] = int(
+                (~np.isfinite(est).all(axis=1)).sum())
     print(json.dumps(report))
 
 

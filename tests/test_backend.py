@@ -407,6 +407,43 @@ def test_keyframe_redundancy_and_cull():
     assert int(slot3) == -1
 
 
+def test_evict_stale_landmarks_oldest_first():
+    """Staleness eviction drops the landmarks whose LAST observing
+    keyframe is oldest, invalidates their observation rows, and leaves
+    fresher landmarks alone (long-session map freshness;
+    backend/keyframes.evict_stale_landmarks)."""
+    store = keyframes.empty_store(capacity=4, max_kp=4, words=2)
+    store = store._replace(valid=jnp.ones(4, bool),
+                           ordinal=jnp.arange(4, dtype=jnp.int32))
+    lmap = keyframes.empty_map(8, words=2)
+    lmap = lmap._replace(valid=jnp.arange(8) < 4)
+    # last observers: lm0 -> kf0, lm1 -> kf1, lm2 -> kf3, lm3 -> kf3
+    kf = [0, 0, 1, 3, 2, 3]
+    lm = [0, 1, 1, 2, 3, 3]
+    obs = keyframes.empty_obs(16)
+    obs = obs._replace(kf=obs.kf.at[:6].set(jnp.int32(kf)),
+                       lm=obs.lm.at[:6].set(jnp.int32(lm)),
+                       valid=obs.valid.at[:6].set(True))
+
+    lmap2, obs2, n = keyframes.evict_stale_landmarks(
+        store, lmap, obs, jnp.int32(2))
+    assert int(n) == 2
+    v = np.asarray(lmap2.valid)
+    assert not v[0] and not v[1]          # oldest last-observation dropped
+    assert v[2] and v[3]                  # fresh landmarks survive
+    ov = np.asarray(obs2.valid)
+    assert not ov[0] and not ov[1] and not ov[2]   # lm0/lm1 rows gone
+    assert ov[3] and ov[4] and ov[5]
+    # no-op when nothing is needed
+    lmap3, obs3, n3 = keyframes.evict_stale_landmarks(
+        store, lmap, obs, jnp.int32(0))
+    assert int(n3) == 0
+    assert np.array_equal(np.asarray(lmap3.valid), np.asarray(lmap.valid))
+    # compaction reclaims the slots for the cursor
+    lmap4, obs4, n_lm, _n_obs = keyframes.compact_map(lmap2, obs2)
+    assert int(n_lm) == 2
+
+
 def test_compact_map_repacks_and_remaps():
     store, lmap, obs = _toy_map()
     # cull kf2, then additionally kill landmark 1 and its rows
