@@ -105,6 +105,31 @@ def test_service_midrun_loop_closure(capsys):
     assert "ate_rmse" in rep and rep["ate_rmse"] < 0.5
 
 
+def test_service_maintenance_evicts_stale_landmarks(capsys, monkeypatch):
+    """Long-session maintenance: with a small landmark table the
+    --cull-every block evicts the stalest landmarks to keep
+    --min-free-landmarks slots free (triangulation never starves), and
+    the run stays finite."""
+    import dataclasses as dc
+
+    real = service.build_config
+
+    def small(*a, **kw):
+        cfg = real(*a, **kw)
+        return dc.replace(cfg, map=dc.replace(
+            cfg.map, max_landmarks=768, max_obs=3072))
+
+    monkeypatch.setattr(service, "build_config", small)
+    service.main(["--seq", DATA, "--cull-every", "2",
+                  "--min-free-landmarks", "256", "--no-loop-close"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["frames"] == 48
+    assert rep["landmarks_evicted"] > 0, rep
+    assert rep["landmarks"] <= 768
+    assert rep["frames_lost"] == 0
+    assert "ate_rmse" in rep and rep["ate_rmse"] is not None
+
+
 def test_service_chunked_scan_mode(tmp_path, capsys):
     """--chunk N drives the device-resident tracking scan."""
     traj = str(tmp_path / "traj.txt")
