@@ -54,13 +54,23 @@ def _project(R, t, X):
     return xc[..., :2] / z[..., None], xc
 
 
-def residuals_and_jacobians(p: BAProblem):
+def residuals_and_jacobians(p: BAProblem, huber: float = 0.0):
     """Per-observation residual (O, 2), J_c (O, 2, 6), J_p (O, 2, 3).
 
     J_c is wrt a left-multiplicative twist [rho, w] on (R, t):
         d(xc)/d rho = I,  d(xc)/d w = -[xc]_x
     and J_p is wrt the world point: d(xc)/dX = R.
     Projection jacobian: d(pi)/d(xc) = [[1/z, 0, -x/z^2], [0, 1/z, -y/z^2]].
+
+    With ``huber`` > 0 the rows are additionally scaled by sqrt of the
+    Huber IRLS weight min(1, huber/|r|) (the ORB-SLAM robust kernel):
+    the normal equations become Huber-robust and the summed squared
+    residual becomes the (within-quadratic-regime) robust cost. Without
+    it one gross outlier (a bad association surviving to BA; measured
+    |r| up to 25.8 in NORMALISED coords on eval_seq2 post-closure)
+    dominates the objective so completely that every LM step is
+    rejected and global BA silently no-ops. The 4th return stays the
+    plain 0/1 validity mask.
     """
     R = p.R[p.obs_cam]
     t = p.t[p.obs_cam]
@@ -84,7 +94,12 @@ def residuals_and_jacobians(p: BAProblem):
     w = (p.obs_valid
          & p.cam_valid[p.obs_cam]
          & p.pt_valid[p.obs_pt]).astype(r.dtype)
-    return r * w[:, None], jc * w[:, None, None], jp * w[:, None, None], w
+    s = w
+    if huber > 0:
+        rn = jnp.linalg.norm(r, axis=1)
+        s = w * jnp.sqrt(jnp.where(rn > huber,
+                                   huber / jnp.maximum(rn, 1e-12), 1.0))
+    return r * s[:, None], jc * s[:, None, None], jp * s[:, None, None], w
 
 
 def _adjugate_inv3(m, damping):
@@ -130,7 +145,8 @@ def gn_normal_blocks(p: BAProblem, r, jc, jp):
     return hcc, bc, hpp, bp, w.reshape(P, C, 6, 3)
 
 
-def schur_reduce(hcc, bc, hpp, bp, w, damping, cam_valid, axis_name=None):
+def schur_reduce(hcc, bc, hpp, bp, w, damping, cam_valid, axis_name=None,
+                 n_fixed: int = 1):
     """Form the reduced camera system (S, b) and the point-solve helper.
 
     S = blockdiag(H_cc) + lambda I - sum_p Wp Hpp^{-1} Wp^T   ((6C, 6C) dense)
@@ -159,8 +175,15 @@ def schur_reduce(hcc, bc, hpp, bp, w, damping, cam_valid, axis_name=None):
     s = s.reshape(6 * C, 6 * C) + damping * jnp.eye(6 * C, dtype=cross.dtype)
     b = bc.reshape(-1) - bcross
 
-    # gauge + invalid cameras: pin their deltas to zero via identity rows
-    pin = jnp.repeat(~cam_valid | (jnp.arange(C) == 0), 6)
+    # gauge + invalid cameras: pin their deltas to zero via identity rows.
+    # n_fixed >= 2 additionally anchors the SCALE gauge: monocular BA with
+    # one pinned camera leaves the window scale free, and the Huber kernel
+    # makes scale drift cheap enough to collapse a weakly-linked sub-map's
+    # baseline (measured on eval_seq2: the bootstrap keyframe pair
+    # collapsed from |c1-c0| = 1.0 to 0.004 map units). Holding the two
+    # oldest cameras pins the first baseline -- the fixed-keyframes idea
+    # of ORB-SLAM's local BA, minimally.
+    pin = jnp.repeat(~cam_valid | (jnp.arange(C) < n_fixed), 6)
     s = jnp.where(pin[:, None] | pin[None, :],
                   jnp.eye(6 * C, dtype=s.dtype), s)
     b = jnp.where(pin, 0.0, b)
@@ -199,7 +222,7 @@ def _pcg(apply, minv_apply, b, iters: int):
 
 
 def reduced_system_cg(p: BAProblem, r, jc, jp, damping, iters: int,
-                      axis_name=None):
+                      axis_name=None, n_fixed: int = 1):
     """Solve the Schur-reduced camera system matrix-free with block-Jacobi
     preconditioned CG -- the large-window path.
 
@@ -237,7 +260,9 @@ def reduced_system_cg(p: BAProblem, r, jc, jp, damping, iters: int,
     bc = allsum(bc)
     hpp_inv = _adjugate_inv3(hpp, damping)  # (P, 3, 3) shard-local
 
-    pin = ~p.cam_valid | (jnp.arange(C) == 0)  # gauge + invalid cameras
+    # gauge + invalid cameras; n_fixed >= 2 also anchors the scale gauge
+    # (see schur_reduce)
+    pin = ~p.cam_valid | (jnp.arange(C) < n_fixed)
 
     def cams_from_points(z):
         """(P, 3) landmark-space vector -> (C, 6) camera accumulation."""
@@ -277,8 +302,8 @@ def reduced_system_cg(p: BAProblem, r, jc, jp, damping, iters: int,
     return dc_flat, hpp_inv, bp, points_from_cams
 
 
-def ba_cost(p: BAProblem):
-    r, _, _, w = residuals_and_jacobians(p)
+def ba_cost(p: BAProblem, huber: float = 0.0):
+    r, _, _, w = residuals_and_jacobians(p, huber=huber)
     return jnp.sum(r * r), jnp.sum(w)
 
 
@@ -291,14 +316,18 @@ def _apply_update(p: BAProblem, dc, dp, pt_valid):
 
 
 def ba_iterations(p: BAProblem, iters: int, damping: float, axis_name=None,
-                  solver: str = "dense", cg_iters: int = 64):
+                  solver: str = "dense", cg_iters: int = 64,
+                  huber: float = 0.0, n_fixed: int = 1):
     """LM iteration loop, optionally distributed over `axis_name` (landmark/
     observation shards; poses replicated). Pure function, jit/shard_map-safe.
 
     solver="dense" factorises the (6C, 6C) reduced camera matrix
     (schur_reduce); "cg" solves it matrix-free from per-observation terms
     (reduced_system_cg) -- same answers within CG tolerance, O(O) memory,
-    the path for global BA at large keyframe capacity."""
+    the path for global BA at large keyframe capacity. ``huber`` > 0
+    enables the robust kernel (residuals_and_jacobians); both the normal
+    equations and the accept/reject costs use the robustified residuals,
+    so a gross outlier cannot veto every LM step."""
     assert solver in ("dense", "cg")
 
     def allsum(x):
@@ -306,11 +335,12 @@ def ba_iterations(p: BAProblem, iters: int, damping: float, axis_name=None,
 
     def step(carry, _):
         prob, lam = carry
-        r, jc, jp, wmask = residuals_and_jacobians(prob)
+        r, jc, jp, wmask = residuals_and_jacobians(prob, huber=huber)
         cost0 = allsum(jnp.sum(r * r))
         if solver == "cg":
             dc_flat, hpp_inv, bp, points_from_cams = reduced_system_cg(
-                prob, r, jc, jp, lam, cg_iters, axis_name=axis_name)
+                prob, r, jc, jp, lam, cg_iters, axis_name=axis_name,
+                n_fixed=n_fixed)
             dc = dc_flat.reshape(-1, 6)
             dp = jnp.einsum("pij,pj->pi", hpp_inv,
                             bp - points_from_cams(dc))
@@ -318,14 +348,14 @@ def ba_iterations(p: BAProblem, iters: int, damping: float, axis_name=None,
             hcc, bc, hpp, bp, w = gn_normal_blocks(prob, r, jc, jp)
             s, b, hpp_inv, wf = schur_reduce(
                 hcc, bc, hpp, bp, w, lam, prob.cam_valid,
-                axis_name=axis_name)
+                axis_name=axis_name, n_fixed=n_fixed)
             dc_flat = jnp.linalg.solve(s, b)
             dc = dc_flat.reshape(-1, 6)
             # back-substitute landmarks: dp = Hpp^{-1} (b_p - W^T dc), local
             dp = jnp.einsum("pij,pj->pi", hpp_inv,
                             bp - jnp.einsum("pik,i->pk", wf, dc_flat))
         cand = _apply_update(prob, dc, dp, prob.pt_valid)
-        r1, _, _, _ = residuals_and_jacobians(cand)
+        r1, _, _, _ = residuals_and_jacobians(cand, huber=huber)
         cost1 = allsum(jnp.sum(r1 * r1))
         accept = cost1 < cost0
         new_prob = jax.tree.map(
@@ -339,9 +369,11 @@ def ba_iterations(p: BAProblem, iters: int, damping: float, axis_name=None,
     return prob, {"costs": costs, "final_damping": lam}
 
 
-@partial(jax.jit, static_argnames=("iters", "solver", "cg_iters"))
+@partial(jax.jit, static_argnames=("iters", "solver", "cg_iters", "huber",
+                                   "n_fixed"))
 def bundle_adjust(p: BAProblem, iters: int = 8, damping: float = 1e-4,
-                  solver: str = "auto", cg_iters: int = 64):
+                  solver: str = "auto", cg_iters: int = 64,
+                  huber: float = 0.0, n_fixed: int = 1):
     """Run `iters` LM iterations single-device. Returns (problem, info).
 
     solver="auto" picks the dense Schur factorisation for windowed sizes
@@ -349,4 +381,5 @@ def bundle_adjust(p: BAProblem, iters: int = 8, damping: float = 1e-4,
     W tensor and O((6C)^3) factorisation stop scaling)."""
     if solver == "auto":
         solver = "cg" if p.R.shape[0] > 48 else "dense"
-    return ba_iterations(p, iters, damping, solver=solver, cg_iters=cg_iters)
+    return ba_iterations(p, iters, damping, solver=solver, cg_iters=cg_iters,
+                         huber=huber, n_fixed=n_fixed)

@@ -303,7 +303,12 @@ def optimize(g: PoseGraph, iters: int = 10, damping: float = 1e-4,
     be absorbed as scale change along the chain instead of being forced
     into bogus rotations/translations (the ORB-SLAM essential-graph
     formulation). Convert back to SE(3) poses with t / exp(node_logs)
-    (the caller's job; see models/slam.py)."""
+    (the caller's job; see models/slam.py).
+
+    The returned per-iteration costs are INFORMATION-WEIGHTED (sum of
+    w * |r|^2 over edges): comparable across iterations of one graph,
+    but not across graphs with different edge_weight scales (e.g.
+    covisibility-count weights in the tens vs unit weights)."""
     n = g.R.shape[0]
     if solver == "auto":
         solver = "cg" if n > 64 else "dense"

@@ -143,6 +143,21 @@ class VOConfig:
     sample_size: int = 8  # 8-point algorithm
     inlier_threshold: float = 1.5e-3  # Sampson distance in normalised coords
     min_inliers: int = 15
+    # E/H model selection during BOOTSTRAP (the ORB-SLAM monocular
+    # initialiser rule, geometry/homography.select_model): while only the
+    # bootstrap keyframe exists, run both RANSACs and take the homography
+    # pose when its inlier share wins. Motivation: the essential solve is
+    # degenerate on near-planar/low-parallax bootstrap views -- measured
+    # on the committed sequences, E returns 100% inlier support with a
+    # 76-86 deg WRONG translation direction on eval_seq/2/4's bootstrap
+    # pair. Default OFF because H is not reliably better on this scene
+    # family (threshold sweep, frame 3 t-direction error vs gt:
+    # eval_seq2 E 77d / H@2e-3..8e-3 17/15/7/4d -- H wins big; but
+    # eval_seq3 E 22d / H 62-67d and eval_seq4 E 86d / H 64/6/68/59d --
+    # H unstable, the two-plane scene makes its decomposition flip
+    # planes). The mechanism stays wired (host loop + device scan,
+    # decision-parity tested) for scene families where it measures well.
+    bootstrap_model_select: bool = False
     # motion-continuity guard: a keyframe-relative rotation exceeding this
     # angle is physically impossible between nearby frames and marks the
     # solve LOST instead of flipping the trajectory (a near-180 degree
@@ -187,8 +202,37 @@ class BAConfig:
     window: int = 8  # camera poses per BA window
     max_points: int = 2048  # padded landmark capacity
     max_obs: int = 16384  # padded observation capacity
-    gn_iters: int = 8  # Gauss-Newton/LM iterations (static)
+    gn_iters: int = 8  # Gauss-Newton/LM iterations (static, windowed BA)
+    # LM iterations for GLOBAL BA (after loop closure): the post-graph
+    # map starts far from the BA optimum (pose-graph correction + anchor
+    # landmark transport leave large reprojection residuals) and the LM
+    # damping schedule burns its first iterations on rejected steps while
+    # lambda adapts -- measured on eval_seq2: 4 iterations moved nothing
+    # (ATE 0.495 stuck), 20 -> 0.259, 36 -> 0.246 vs 0.352 pre-closure.
+    global_iters: int = 32
     damping: float = 1e-4  # initial LM damping
+    # Huber robust-kernel scale in normalised image coords (0 disables).
+    # Without it one gross outlier association dominates the quadratic
+    # objective and LM rejects every step: measured on eval_seq2
+    # post-closure global BA, a |r|=25.8 row held total cost at 678.79
+    # through 8 straight rejections (exact no-op) while the same problem
+    # with huber=6e-3 converges. 6e-3 = map.pnp_inlier_threshold: beyond
+    # the tracking inlier radius an observation is evidence of a bad
+    # association, not geometry.
+    huber: float = 6e-3
+    # out-of-window FIXED observer cameras per windowed-BA problem
+    # (ORB-SLAM's local-BA "fixed keyframes"): keyframes outside the
+    # window that observe window landmarks contribute their reprojection
+    # residuals with FROZEN poses. They anchor the monocular scale AND
+    # the direction of the window's geometry to the older map -- without
+    # them the window's scale gauge is free relative to the rest of the
+    # map and the Huber kernel makes scale drift cheap (measured on
+    # eval_seq2: the bootstrap baseline collapsed 1.0 -> 0.004 map
+    # units); pinning two in-window cameras instead (the n_fixed=2
+    # fallback, still used when no observers exist) froze early-window
+    # error into the map (eval_seq3 pre-closure 0.067 -> 0.130). 0
+    # disables (old behaviour).
+    fixed_observers: int = 8
     # select the BA window by covisibility (newest keyframe + its most
     # covisible partners, the ORB-SLAM local-BA neighbourhood) instead of
     # the last `window` keyframes temporally. Helps after loop closures /
@@ -241,6 +285,32 @@ class MapConfig:
     # unlike the pose-rescaling alternatives, which traded one sequence
     # against another.
     keyframe_on_map_dropout: bool = True
+    # chunk-boundary re-triangulation (models/slam.py:process_chunk): the
+    # device-resident scan triangulates in-chunk landmarks against poses
+    # windowed BA has not yet refined, and boundary BA alone cannot undo a
+    # bad linearisation point (measured: repeating it 3x only recovered
+    # eval_seq4 chunk-8 online ATE 0.78 -> 0.75). With this on, landmarks
+    # created inside a multi-frame chunk are re-triangulated from their
+    # first two observations using the BA-refined poses, then BA runs once
+    # more. Chunk size 1 never re-triangulates (parity with process()).
+    chunk_retriangulate: bool = True
+    # neighbourhood loop closure (models/slam.py:try_close_loop): the loop
+    # pose is PnP-measured against the UNION of landmarks observed by the
+    # matched keyframe and its most covisible neighbours, and one weighted
+    # pose-graph edge is emitted per old keyframe whose own landmarks give
+    # >= loop_edge_min_support PnP inliers (the ORB-SLAM loop-correction
+    # neighbourhood, re-expressed with the covisibility matmul). A single
+    # keyframe's landmark set was the round-4 edge and its measured error
+    # (0.24 m translation on eval_seq2) was the same order as the drift it
+    # corrected -- the neighbourhood union is what buys edge accuracy.
+    loop_neighbours: int = 5            # max covisible neighbours unioned
+    loop_neighbour_min_covis: int = 10  # min shared landmarks to join
+    loop_edge_min_support: int = 12     # min PnP inliers to emit an edge
+    # after a successful loop PnP, append observation rows linking the
+    # current keyframe to the PnP-inlier OLD landmarks (ORB-SLAM's loop
+    # fusion): global BA then enforces the closure on the map geometry
+    # itself instead of relying on pose-graph edges alone.
+    loop_fuse_observations: bool = True
     # optimise the loop-closure pose graph over Sim(3) instead of SE(3):
     # each keyframe carries a scale DOF so monocular scale drift is
     # absorbed as scale change along the chain instead of being forced

@@ -369,17 +369,30 @@ class KeyframeSLAM:
             self.vo.level_rows, self.vo.level_scales, dist=self.vo.dist)
         return feats, pts
 
-    def _localise_against(self, desc, valid, ref_pts, feats, pts):
-        """RANSAC essential pose of `feats` vs a reference feature block."""
+    def _localise_against(self, desc, valid, ref_pts, feats, pts,
+                          model_select: bool = False):
+        """RANSAC essential pose of `feats` vs a reference feature block.
+
+        ``model_select`` runs the E/H two-model bootstrap initialiser
+        instead (geometry/homography.select_model -- the ORB-SLAM rule;
+        see VOConfig.bootstrap_model_select)."""
         idx2, _ = self._match(desc, feats.descriptors, valid, feats.valid)
         ok = idx2 >= 0
         p2 = pts[jnp.clip(idx2, 0)]
         key, sub = jax.random.split(self._st.key)
         self._st = self._st._replace(key=key)
-        out = ransac.ransac_essential(
-            sub, ref_pts, p2, ok,
-            iters=self.cfg.vo.ransac_iters,
-            inlier_threshold=self.cfg.vo.inlier_threshold)
+        if model_select:
+            from ..geometry import homography
+            out = homography.select_model(
+                sub, ref_pts, p2, ok,
+                iters=self.cfg.vo.ransac_iters,
+                e_threshold=self.cfg.vo.inlier_threshold,
+                h_threshold=self.cfg.vo.inlier_threshold)
+        else:
+            out = ransac.ransac_essential(
+                sub, ref_pts, p2, ok,
+                iters=self.cfg.vo.ransac_iters,
+                inlier_threshold=self.cfg.vo.inlier_threshold)
         return out, idx2
 
     def _slot_rows(self, slot: int):
@@ -414,7 +427,9 @@ class KeyframeSLAM:
         last = self._last
         with m.timer("track"):
             out, idx2 = self._localise_against(
-                last["desc"], last["valid"], last["pts"], feats, pts)
+                last["desc"], last["valid"], last["pts"], feats, pts,
+                model_select=(self.cfg.vo.bootstrap_model_select
+                              and self._num_kf == 1))
             n_inl = int(out["num_inliers"])
         lost = n_inl < self.cfg.vo.min_inliers
         if not lost:
@@ -570,7 +585,9 @@ class KeyframeSLAM:
         map PnP, keyframe decision and insertion -- runs inside a lax.scan
         over the SlamState pytree; windowed BA then runs once on the host
         if the chunk inserted keyframes (the local-mapping-thread pattern).
-        chunk size 1 reproduces process() exactly (tests/test_slam_scan.py);
+        chunk size 1 reproduces process() decision-identically, positions
+        to float tolerance (tests/test_slam_scan.py -- one fused program
+        vs several jit boundaries is not bitwise);
         larger chunks amortise the tunnel's per-dispatch/sync cost over T
         frames at a measured accuracy cost that grows with session length
         (eval_seq4, 224 frames, chunk 8 vs the per-frame loop: online ATE
@@ -599,6 +616,7 @@ class KeyframeSLAM:
         frames = jnp.asarray(frames)
         m = self.metrics
         n_kf_before = self._num_kf
+        n_lm_before = self._num_lm
         with m.timer("scan_chunk"):
             st, outs = self._chunk_scan(self.state, frames)
             self.set_state(st)  # one counters readback per chunk
@@ -610,6 +628,17 @@ class KeyframeSLAM:
         if self._num_kf > n_kf_before and self._num_kf >= 2:
             with m.timer("insert_ba"):
                 self._local_ba()
+            if (self.cfg.map.chunk_retriangulate and frames.shape[0] > 1
+                    and self._num_lm > n_lm_before):
+                # in-chunk landmarks were triangulated against poses BA
+                # had not refined; reset their linearisation point from
+                # the refined poses and converge once more (see
+                # retriangulate_landmarks -- chunk 1 inserts like the
+                # per-frame loop and skips this)
+                with m.timer("insert_ba"):
+                    if self.retriangulate_landmarks(n_lm_before,
+                                                    self._num_lm):
+                        self._local_ba()
         # chunk-boundary lost-tracking recovery: the scan cannot relocalise
         # on-device (the store-wide match is host orchestration), so when
         # the chunk ENDS lost, relocalise the last frame against the whole
@@ -705,7 +734,8 @@ class KeyframeSLAM:
         else:
             ordinals, slots = self._window()
         self._run_ba(ordinals, slots, C=bc.window, max_points=bc.max_points,
-                     max_obs=bc.max_obs, iters=bc.gn_iters)
+                     max_obs=bc.max_obs, iters=bc.gn_iters,
+                     fixed_observers=bc.fixed_observers)
 
     def global_ba(self, iters: Optional[int] = None):
         """Full-map bundle adjustment: ALL stored keyframes + landmarks.
@@ -722,10 +752,12 @@ class KeyframeSLAM:
         with self.metrics.timer("global_ba"):
             self._run_ba(ordinals, slots, C=self.capacity,
                          max_points=mc.max_landmarks, max_obs=mc.max_obs,
-                         iters=iters or bc.gn_iters)
+                         iters=iters or bc.global_iters,
+                         fixed_observers=0)
 
     def _run_ba(self, ordinals, slots, C: int, max_points: int,
-                max_obs: int, iters: int):
+                max_obs: int, iters: int,
+                fixed_observers: Optional[int] = None):
         bc = self.cfg.ba
         if len(ordinals) < 2 or self._num_obs == 0:
             return
@@ -759,24 +791,59 @@ class KeyframeSLAM:
         if len(rows) == 0:
             return
 
+        # out-of-window FIXED observers (ORB-SLAM local-BA "fixed
+        # keyframes"; see BAConfig.fixed_observers): keyframes outside the
+        # window observing window landmarks join the problem with frozen
+        # poses, anchoring the window's scale and orientation to the
+        # older map. Ordered FIRST so ba's n_fixed prefix pins them.
+        fixed_cap = 0 if fixed_observers is None else fixed_observers
+        fixed_slots = []
+        fx_rows = np.empty(0, np.int64)
+        if fixed_cap > 0:
+            pos_all = np.searchsorted(lm_slots, obs_lm)
+            lm_member = (pos_all < len(lm_slots)) & \
+                (lm_slots[np.minimum(pos_all, len(lm_slots) - 1)] == obs_lm)
+            kf_valid = np.asarray(st.store.valid)
+            out_sel = obs_valid & lm_member & ~member & kf_valid[obs_kf]
+            counts = np.bincount(obs_kf[out_sel], minlength=self.capacity)
+            order = np.argsort(-counts, kind="stable")
+            fixed_slots = [int(s) for s in order if counts[s] > 0][:fixed_cap]
+            if fixed_slots:
+                in_fixed = np.zeros(self.capacity, bool)
+                in_fixed[fixed_slots] = True
+                fx_rows = np.where(out_sel & in_fixed[obs_kf])[0]
+                fx_rows = fx_rows[: max_obs - len(rows)]
+        n_fx = len(fixed_slots)
+        # >= 2 pinned cameras always (gauge + monocular scale anchor):
+        # short observer lists are topped up with the oldest window cams
+        n_fixed = max(2, n_fx)
+
+        cam_slots = list(fixed_slots) + list(slots)
+        cam_of_slot = np.full(self.capacity, -1, np.int64)
+        cam_of_slot[np.asarray(cam_slots, np.int64)] = np.arange(
+            len(cam_slots))
+
+        C_total = C + fixed_cap
         O, P_ = max_obs, max_points
         obs_cam = np.zeros(O, np.int32)
         obs_pt = np.zeros(O, np.int32)
         uv = np.zeros((O, 2), np.float32)
         ov = np.zeros(O, bool)
-        nr = len(rows)
-        obs_cam[:nr] = np.searchsorted(ords, ords_of_obs[rows])
-        obs_pt[:nr] = np.searchsorted(lm_slots, obs_lm[rows])
-        uv[:nr] = obs_uv[rows]
+        allrows = np.concatenate([rows, fx_rows]) if len(fx_rows) else rows
+        nr = len(allrows)
+        obs_cam[:nr] = cam_of_slot[obs_kf[allrows]]
+        obs_pt[:nr] = np.searchsorted(lm_slots, obs_lm[allrows])
+        uv[:nr] = obs_uv[allrows]
         ov[:nr] = True
 
-        Rw = np.asarray(st.store.R[np.asarray(slots)])
-        tw = np.asarray(st.store.t[np.asarray(slots)])
-        Rs = np.broadcast_to(np.eye(3, dtype=np.float32), (C, 3, 3)).copy()
-        ts = np.zeros((C, 3), np.float32)
-        cam_valid = np.zeros(C, bool)
-        Rs[:len(slots)], ts[:len(slots)] = Rw, tw
-        cam_valid[:len(slots)] = True
+        Rw = np.asarray(st.store.R[np.asarray(cam_slots)])
+        tw = np.asarray(st.store.t[np.asarray(cam_slots)])
+        Rs = np.broadcast_to(np.eye(3, dtype=np.float32),
+                             (C_total, 3, 3)).copy()
+        ts = np.zeros((C_total, 3), np.float32)
+        cam_valid = np.zeros(C_total, bool)
+        Rs[:len(cam_slots)], ts[:len(cam_slots)] = Rw, tw
+        cam_valid[:len(cam_slots)] = True
 
         Xw = np.asarray(st.lmap.xyz[jnp.asarray(lm_slots)])
         points = np.zeros((P_, 3), np.float32)
@@ -789,7 +856,8 @@ class KeyframeSLAM:
             obs_cam=jnp.asarray(obs_cam), obs_pt=jnp.asarray(obs_pt),
             obs_uv=jnp.asarray(uv), obs_valid=jnp.asarray(ov),
             cam_valid=jnp.asarray(cam_valid), pt_valid=jnp.asarray(pt_valid))
-        out, _ = ba.bundle_adjust(prob, iters=iters, damping=bc.damping)
+        out, _ = ba.bundle_adjust(prob, iters=iters, damping=bc.damping,
+                                  huber=bc.huber, n_fixed=n_fixed)
 
         # failure detection (same philosophy as tracking): a degenerate
         # Schur solve (rank-deficient after heavy culling/eviction, or
@@ -797,8 +865,9 @@ class KeyframeSLAM:
         # reject the whole update rather than commit NaNs (observed once:
         # chunked long-session service on the chip went NaN through an
         # unguarded refinement and crashed the final eval)
-        outR = np.asarray(out.R[:len(slots)])
-        outt = np.asarray(out.t[:len(slots)])
+        lo, hi = n_fx, n_fx + len(slots)   # free (window) camera block
+        outR = np.asarray(out.R[lo:hi])
+        outt = np.asarray(out.t[lo:hi])
         outX = np.asarray(out.points[:len(lm_slots)])
         if not (np.isfinite(outR).all() and np.isfinite(outt).all()
                 and np.isfinite(outX).all()):
@@ -807,13 +876,74 @@ class KeyframeSLAM:
 
         sl = jnp.asarray(np.int32(slots))
         store = st.store._replace(
-            R=st.store.R.at[sl].set(out.R[:len(slots)]),
-            t=st.store.t.at[sl].set(out.t[:len(slots)]))
+            R=st.store.R.at[sl].set(out.R[lo:hi]),
+            t=st.store.t.at[sl].set(out.t[lo:hi]))
         lmap = st.lmap._replace(
             xyz=st.lmap.xyz.at[jnp.asarray(lm_slots)].set(
                 out.points[:len(lm_slots)]))
         self._st = st._replace(store=store, lmap=lmap)
         self._cache_last((self._num_kf - 1) % self.capacity)
+
+    def retriangulate_landmarks(self, lm_lo: int, lm_hi: int) -> int:
+        """Re-triangulate landmarks in slot range [lm_lo, lm_hi) from
+        their first two observations using the CURRENT keyframe poses.
+
+        The fix for the chunked scan's accuracy gap: landmarks inserted
+        inside a device-resident chunk are triangulated against poses
+        windowed BA has not yet refined, and BA afterwards converges to a
+        nearby bad local minimum instead of undoing the bad linearisation
+        point (measured on eval_seq4 chunk 8: online ATE 0.78 vs the
+        per-frame loop's 0.44; repeating boundary BA 3x only reached
+        0.75). Re-triangulating from the refined poses resets the
+        geometry exactly where it was created stale; process_chunk runs
+        this between its two boundary-BA passes. Degenerate
+        re-triangulations (behind-camera or non-finite) keep their old
+        position. Returns the number of landmarks moved.
+        """
+        if lm_hi <= lm_lo:
+            return 0
+        st = self._st
+        okf, olm, ouv, ovalid = jax.device_get(
+            (st.obs.kf, st.obs.lm, st.obs.uv, st.obs.valid))
+        kf_valid = np.asarray(st.store.valid)
+        lmv = np.asarray(st.lmap.valid)
+        sel = (ovalid & (olm >= lm_lo) & (olm < lm_hi)
+               & kf_valid[okf] & lmv[olm])
+        rows = np.nonzero(sel)[0]
+        if rows.size == 0:
+            return 0
+        # first two observation rows per landmark (append order = insertion
+        # order, so these are the two views it was triangulated from)
+        order = rows[np.argsort(olm[rows], kind="stable")]
+        lms = olm[order]
+        uniq, first, counts = np.unique(lms, return_index=True,
+                                        return_counts=True)
+        has2 = counts >= 2
+        if not has2.any():
+            return 0
+        l = uniq[has2]
+        r1 = order[first[has2]]
+        r2 = order[first[has2] + 1]
+        R = np.asarray(st.store.R)
+        t = np.asarray(st.store.t)
+        R1, t1, R2, t2 = R[okf[r1]], t[okf[r1]], R[okf[r2]], t[okf[r2]]
+        tri = jax.vmap(lambda Ra, ta, Rb, tb, pa, pb:
+                       triangulate.triangulate_two_view(
+                           Ra, ta, Rb, tb, pa[None], pb[None])[0])
+        X = np.asarray(tri(jnp.asarray(R1), jnp.asarray(t1),
+                           jnp.asarray(R2), jnp.asarray(t2),
+                           jnp.asarray(ouv[r1]), jnp.asarray(ouv[r2])))
+        z1 = np.einsum("nij,nj->ni", R1, X)[:, 2] + t1[:, 2]
+        z2 = np.einsum("nij,nj->ni", R2, X)[:, 2] + t2[:, 2]
+        ok = np.isfinite(X).all(1) & (z1 > 1e-4) & (z2 > 1e-4)
+        l, X = l[ok], X[ok]
+        if l.size == 0:
+            return 0
+        lmap = st.lmap._replace(xyz=st.lmap.xyz.at[jnp.asarray(l)].set(
+            jnp.asarray(X, jnp.float32)))
+        self._st = st._replace(lmap=lmap)
+        self.metrics.count("landmarks_retriangulated", int(l.size))
+        return int(l.size)
 
     def cull_landmarks(self, max_residual: Optional[float] = None,
                        min_obs: int = 2):
@@ -844,8 +974,10 @@ class KeyframeSLAM:
         table silently disables triangulation -- and with it the
         keyframe-on-map-dropout rule -- for the rest of the session
         (measured on the 224-frame sequence: the chunked service pinned
-        at 8192/8192 from mid-run). Follow with compact() to reclaim the
-        slots. Returns the number evicted."""
+        at 8192/8192 from mid-run). Compacts afterwards, so the freed
+        slots are immediately available to the triangulation cursor (a
+        bare mask invalidation would leave the cursor saturated until
+        some later compact()). Returns the number evicted."""
         st = self._st
         # count from the mask, not _num_lm: culling invalidates rows
         # without moving the cursor until compact() runs
@@ -859,6 +991,8 @@ class KeyframeSLAM:
             n = int(n)
         self._st = st._replace(lmap=lmap, obs=obs)
         self.metrics.count("landmarks_evicted", n)
+        if n:
+            self.compact()
         return n
 
     # -- covisibility / keyframe culling / compaction ------------------------
@@ -962,70 +1096,223 @@ class KeyframeSLAM:
         t = t / max(np.linalg.norm(t), 1e-9)
         return int(ordinal[best_slot]), np.asarray(out["R"]), t, n_inl
 
-    def _loop_pnp_pose(self, old_slot: int, desc, kvalid, pts,
-                       R_init, t_init, min_inliers: int):
-        """Metric re-measurement of the loop keyframe's pose: PnP of the
-        current keyframe's features against the LANDMARKS observed by the
-        matched (old) keyframe.
+    def _loop_neighbourhood_pnp(self, old_slot: int, desc, kvalid, pts,
+                                R_init, t_init, min_inliers: int,
+                                exclude_recent: int = 0,
+                                max_neighbours: Optional[int] = None):
+        """Metric re-measurement of the loop pose: PnP of the current
+        keyframe's features against the landmark UNION of the matched
+        keyframe and its most covisible neighbours.
 
         The essential-matrix loop measurement is monocular -- its
         translation magnitude must be invented, and taking it from the
         current (drifted) baseline preserves the very drift the closure is
         meant to remove (measured on eval_seq2: 1.41 m estimated terminal
         baseline vs 0.146 m truth, and the pose graph made ATE *worse*,
-        0.154 -> 0.196). The old keyframe's landmarks carry the map's
+        0.154 -> 0.196). The old keyframes' landmarks carry the map's
         metric scale from before the drift accumulated, so 2D-3D
-        motion-only BA against them (backend/pnp.py) yields a fully
-        metric pose for the loop edge -- the monocular analog of
-        ORB-SLAM's SIM(3) loop correction with the scale read off the map.
+        motion-only BA against them (backend/pnp.py) yields a fully metric
+        pose -- the monocular analog of ORB-SLAM's SIM(3) loop correction
+        with the scale read off the map. Round 4 measured that ONE
+        keyframe's landmarks leave the edge's own error (0.24 m on
+        eval_seq2) the same order as the drift it corrects; the
+        neighbourhood union (more landmarks, wider baseline spread) is
+        what buys edge accuracy, and the per-neighbour support counts let
+        try_close_loop emit one weighted edge per old keyframe.
 
-        Returns (R, t, num_inliers) world->cam, or None when the old
-        keyframe has no usable landmarks or PnP support is below
-        ``min_inliers``.
+        Returns a dict {R, t, num_inliers, slots, supports, lm, idx2,
+        inliers, uv} (world->cam pose; ``supports[i]`` = PnP-inlier
+        landmarks observed by ``slots[i]``; ``lm``/``idx2``/``inliers``/
+        ``uv`` describe the per-landmark associations for loop fusion),
+        or None when the neighbourhood has no usable landmarks or total
+        PnP support is below ``min_inliers``.
         """
+        mc = self.cfg.map
+        st = self._st
+        # neighbourhood slots: the matched keyframe + most covisible
+        # partners, excluding anything temporally recent (those are the
+        # query's own neighbourhood, not the loop side)
+        slots = [old_slot]
+        n_nb = mc.loop_neighbours if max_neighbours is None else \
+            max_neighbours
+        if n_nb > 0:
+            covis = self.covisibility()
+            valid = np.asarray(st.store.valid)
+            ordinal = np.asarray(st.store.ordinal)
+            wrow = np.where(
+                valid & (ordinal < self._num_kf - exclude_recent),
+                covis[old_slot], -1)
+            wrow[old_slot] = -1
+            order = np.argsort(-wrow, kind="stable")
+            slots += [int(s) for s in order
+                      if wrow[s] >= mc.loop_neighbour_min_covis][:n_nb]
+        okf, ovalid, olm = np.asarray(st.obs.kf), np.asarray(
+            st.obs.valid), np.asarray(st.obs.lm)
+        lmv = np.asarray(st.lmap.valid)
+        L = lmv.shape[0]
+        member = np.zeros((len(slots), L), bool)
+        for i, s in enumerate(slots):
+            rows = olm[(okf == s) & ovalid]
+            member[i, rows[lmv[rows]]] = True
+        counts = member.sum(0)
+        K = int(desc.shape[0])
+        lm_desc_all = np.asarray(st.lmap.descriptors)
+        lm_xyz_all = np.asarray(st.lmap.xyz)
+
+        def pad(lm):
+            ldesc = np.zeros((K, desc.shape[1]), np.uint32)
+            lxyz = np.zeros((K, 3), np.float32)
+            ldesc[: lm.size] = lm_desc_all[lm]
+            lxyz[: lm.size] = lm_xyz_all[lm]
+            lok = np.zeros(K, bool)
+            lok[: lm.size] = True
+            return ldesc, lxyz, lok
+
+        def solve(lm, idx2, R0, t0, coarse: bool):
+            """(pose dict, per-row arrays) fine PnP against `lm` rows."""
+            _, lxyz, lok = pad(lm)
+            ok = lok & (idx2 >= 0)
+            uv = np.asarray(pts)[np.clip(idx2, 0, K - 1)]
+            R0 = jnp.asarray(R0, jnp.float32)
+            t0 = jnp.asarray(t0, jnp.float32)
+            if coarse:
+                # the init translation scale is the DRIFTED baseline
+                # |c_cur - c_old|, which can sit far outside the fine
+                # Huber basin (measured on eval_seq2: scale 5.0 map
+                # units, median init residual 0.19 -- fine-only reached
+                # 11 inliers where coarse->fine reaches 37): a wide
+                # first stage pulls the pose into the basin
+                c = pnp.motion_only_ba(R0, t0, jnp.asarray(lxyz),
+                                       jnp.asarray(uv, jnp.float32),
+                                       jnp.asarray(ok), iters=15,
+                                       huber=5e-2)
+                R0, t0 = c["R"], c["t"]
+            out = pnp.motion_only_ba(R0, t0, jnp.asarray(lxyz),
+                                     jnp.asarray(uv, jnp.float32),
+                                     jnp.asarray(ok), iters=15)
+            return out, uv
+
+        # stage A: the matched keyframe's OWN landmarks, descriptor-only
+        # matching -- a small clean set the two-stage PnP converges on
+        lm_a = np.nonzero(member[0])[0][:K]
+        if lm_a.size < min_inliers:
+            return None
+        ldesc_a, _, lok_a = pad(lm_a)
+        idx2_a, _ = self._match(jnp.asarray(ldesc_a), desc,
+                                jnp.asarray(lok_a), kvalid)
+        out_a, uv_a = solve(lm_a, np.asarray(idx2_a), R_init, t_init,
+                            coarse=True)
+        n_a = int(out_a["num_inliers"])
+        if n_a < min_inliers:
+            return None
+        lm, idx2, out, uv = lm_a, np.asarray(idx2_a), out_a, uv_a
+
+        if len(slots) > 1:
+            # stage B: re-associate against the neighbourhood UNION with a
+            # projection gate at the converged pose, then refine
+            # (ORB-SLAM's loop flow: compute the correction from the
+            # matched keyframe, then SearchByProjection over its covisible
+            # neighbourhood, then optimise again). An UNGATED union match
+            # feeds the solver aliased correspondences that outvote the
+            # good ones (measured on eval_seq2: 162 raw union matches ->
+            # 2 PnP inliers, vs 87 own-landmark matches -> 37).
+            lm_u = np.nonzero(counts > 0)[0]
+            # capacity-bound: prefer landmarks seen by the most
+            # neighbourhood keyframes (best-anchored geometry)
+            lm_u = lm_u[np.argsort(-counts[lm_u], kind="stable")][:K]
+            ldesc_u, lxyz_u, lok_u = pad(lm_u)
+            Rb, tb = np.asarray(out_a["R"]), np.asarray(out_a["t"])
+            xc = lxyz_u @ Rb.T + tb
+            z = xc[:, 2]
+            proj = np.where((z > 1e-6)[:, None],
+                            xc[:, :2] / np.maximum(z, 1e-6)[:, None],
+                            np.float32(1e6)).astype(np.float32)
+            radius = self.cfg.map.gate_radius or \
+                4.0 * self.cfg.map.pnp_inlier_threshold
+            idx2_u, _ = jax.jit(partial(
+                matching.match_gated, radius=float(radius),
+                max_distance=self.cfg.map.map_match_max_distance,
+                ratio=self.cfg.matcher.ratio, cross_check=True))(
+                jnp.asarray(ldesc_u), desc, jnp.asarray(lok_u), kvalid,
+                jnp.asarray(proj), pts)
+            out_b, uv_b = solve(lm_u, np.asarray(idx2_u), Rb, tb,
+                                coarse=False)
+            if int(out_b["num_inliers"]) >= n_a:
+                lm, idx2, out, uv = lm_u, np.asarray(idx2_u), out_b, uv_b
+
+        n = int(out["num_inliers"])
+        inl = np.asarray(out["inliers"])
+        inl_of_lm = np.zeros(L, bool)
+        inl_of_lm[lm] = inl[: lm.size]
+        supports = [int((member[i] & inl_of_lm).sum())
+                    for i in range(len(slots))]
+        return {"R": np.asarray(out["R"]), "t": np.asarray(out["t"]),
+                "num_inliers": n, "slots": slots, "supports": supports,
+                "lm": lm, "idx2": idx2, "inliers": inl, "uv": uv}
+
+    def _loop_pnp_pose(self, old_slot: int, desc, kvalid, pts,
+                       R_init, t_init, min_inliers: int):
+        """Single-keyframe metric loop PnP (round-3 edge construction,
+        kept for the A/B record in tools/ab_loop_edge.py): the
+        neighbourhood PnP restricted to the matched keyframe's own
+        landmarks. Returns (R, t, num_inliers) or None."""
+        res = self._loop_neighbourhood_pnp(
+            old_slot, desc, kvalid, pts, R_init, t_init, min_inliers,
+            max_neighbours=0)
+        if res is None:
+            return None
+        return res["R"], res["t"], res["num_inliers"]
+
+    def _fuse_loop_observations(self, cur_slot: int, res: dict) -> int:
+        """Loop fusion: append observation rows linking the current
+        keyframe to the PnP-inlier OLD landmarks (ORB-SLAM's loop fusion,
+        re-expressed as one batched add_observations append). Global BA
+        afterwards then enforces the closure on the map geometry itself --
+        the pose-graph edges alone leave the reprojection field encoding
+        the pre-closure geometry. Landmarks the current keyframe already
+        observes are skipped. Returns the number of rows fused."""
         st = self._st
         okf, ovalid, olm = np.asarray(st.obs.kf), np.asarray(
             st.obs.valid), np.asarray(st.obs.lm)
-        lm = olm[(okf == old_slot) & ovalid]
-        if lm.size == 0:
-            return None
-        lmv = np.asarray(st.lmap.valid)
-        lm = np.unique(lm[lmv[lm]])
-        if lm.size < min_inliers:
-            return None
-        K = int(desc.shape[0])
-        lm = lm[:K]
-        lm_desc = np.zeros((K, desc.shape[1]), np.uint32)
-        lm_xyz = np.zeros((K, 3), np.float32)
-        lm_desc[: lm.size] = np.asarray(st.lmap.descriptors)[lm]
-        lm_xyz[: lm.size] = np.asarray(st.lmap.xyz)[lm]
-        lm_ok = np.zeros(K, bool)
-        lm_ok[: lm.size] = True
-        # idx2[i] = current-keyframe feature matched to landmark i
-        idx2, _ = self._match(jnp.asarray(lm_desc), desc,
-                              jnp.asarray(lm_ok), kvalid)
-        idx2 = np.asarray(idx2)
-        ok = lm_ok & (idx2 >= 0)
-        uv = np.asarray(pts)[np.clip(idx2, 0, K - 1)]
-        out = pnp.motion_only_ba(
-            jnp.asarray(R_init, jnp.float32), jnp.asarray(t_init, jnp.float32),
-            jnp.asarray(lm_xyz), jnp.asarray(uv, jnp.float32),
-            jnp.asarray(ok), iters=10)
-        n = int(out["num_inliers"])
-        if n < min_inliers:
-            return None
-        return np.asarray(out["R"]), np.asarray(out["t"]), n
+        existing = np.zeros(st.lmap.capacity, bool)
+        existing[olm[(okf == cur_slot) & ovalid]] = True
+        lm, idx2, inl, uv = res["lm"], res["idx2"], res["inliers"], res["uv"]
+        K = idx2.shape[0]
+        lm_slot = np.zeros(K, np.int32)
+        mask = np.zeros(K, bool)
+        lm_slot[: lm.size] = lm
+        mask[: lm.size] = inl[: lm.size] & ~existing[lm]
+        n_fuse = int(mask.sum())
+        if n_fuse == 0:
+            return 0
+        lmap, obs, obs_cur = kfs.add_observations(
+            st.lmap, st.obs, jnp.int32(self._num_obs), jnp.int32(cur_slot),
+            jnp.asarray(lm_slot), jnp.asarray(uv, jnp.float32),
+            jnp.asarray(mask))
+        self._st = st._replace(lmap=lmap, obs=obs)
+        self._num_obs = int(obs_cur)
+        self.metrics.count("loop_obs_fused", n_fuse)
+        return n_fuse
 
     def try_close_loop(self, min_matches: int = 40, exclude_recent: int = 3,
                        exclude_covisible_weight: int = 0):
         """Detect a loop for the newest keyframe and optimise the pose graph.
 
-        The loop edge is measured METRICALLY when possible: the current
-        keyframe is PnP-localised against the matched keyframe's landmarks
-        (`_loop_pnp_pose`), which carries the map's scale into the edge.
-        When the old keyframe has no usable landmarks the edge falls back
-        to the monocular essential-matrix measurement with its translation
-        scale set from the current pose estimates (direction/rotation
+        The loop pose is measured METRICALLY when possible: the current
+        keyframe is PnP-localised against the landmark union of the
+        matched keyframe and its covisible neighbours
+        (`_loop_neighbourhood_pnp`), which carries the map's scale into
+        the measurement, and ONE weighted pose-graph edge is emitted per
+        old keyframe whose own landmarks supply at least
+        cfg.map.loop_edge_min_support PnP inliers (the old keyframes'
+        relative poses are BA-refined local geometry, so the multi-edge
+        fan constrains the closure far better than a single noisy edge).
+        The PnP-inlier associations are also fused into the observation
+        table (`_fuse_loop_observations`) so the subsequent global BA
+        enforces the closure on the map geometry itself. When the old
+        neighbourhood has no usable landmarks the edge falls back to the
+        monocular essential-matrix measurement with its translation scale
+        set from the current pose estimates (direction/rotation
         correction only).
         With ``exclude_covisible_weight`` > 0, keyframes sharing at least
         that many landmarks with the query are additionally excluded
@@ -1068,18 +1355,35 @@ class KeyframeSLAM:
         t_rel = t_unit * scale
         R_meas = R_rel @ R_old
         t_meas = R_rel @ t_old + t_rel
-        pnp_pose = self._loop_pnp_pose(
+        res = self._loop_neighbourhood_pnp(
             old_slot, desc, kvalid, pts, R_meas, t_meas,
-            min_inliers=max(self.cfg.map.min_map_inliers, min_matches // 2))
-        if pnp_pose is not None:
-            R_meas, t_meas, n_sup = pnp_pose
+            min_inliers=max(self.cfg.map.min_map_inliers, min_matches // 2),
+            exclude_recent=exclude_recent)
+        edges = []
+        cur_ord = self._num_kf - 1
+        if res is not None:
+            R_meas, t_meas, n_sup = res["R"], res["t"], res["num_inliers"]
             m.count("loop_edges_metric")
-        R_edge = R_old.T @ R_meas
-        t_edge = R_old.T @ (t_meas - t_old)
+            ordinal = np.asarray(self._st.store.ordinal)
+            store_R = np.asarray(self._st.store.R)
+            store_t = np.asarray(self._st.store.t)
+            for s, sup in zip(res["slots"], res["supports"]):
+                if sup < self.cfg.map.loop_edge_min_support:
+                    continue
+                edges.append((int(ordinal[s]), cur_ord,
+                              store_R[s].T @ R_meas,
+                              store_R[s].T @ (t_meas - store_t[s]),
+                              float(sup)))
+            if self.cfg.map.loop_fuse_observations:
+                self._fuse_loop_observations(cur_slot, res)
+        if not edges:
+            # essential-matrix fallback (or every neighbour below the
+            # support floor): the single round-3-style edge to the
+            # matched keyframe
+            edges = [(idx, cur_ord, R_old.T @ R_meas,
+                      R_old.T @ (t_meas - t_old), float(n_sup))]
         with m.timer("pose_graph"):
-            self.optimise_pose_graph(
-                loop_edges=[(idx, self._num_kf - 1, R_edge, t_edge,
-                             float(n_sup))])
+            self.optimise_pose_graph(loop_edges=edges)
         m.count("loops_closed")
         return idx
 

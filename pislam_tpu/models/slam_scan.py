@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from .. import matching
 from ..config import PislamConfig
 from ..frontend import _extract_impl
-from ..geometry import ransac
+from ..geometry import homography, ransac
 from ..ops import nms, pyramid as pyr_ops
 from .slam import (SlamState, insert_keyframe_state, keyframe_step_prior,
                    rescale_step_to_prior, track_map_state)
@@ -97,9 +97,35 @@ def make_slam_track_scan(cfg: PislamConfig, fx: float, fy: float,
             p2 = pts[jnp.clip(idx2, 0)]
             key, sub = jax.random.split(st.key)
             st = st._replace(key=key)
-            out = ransac.ransac_essential(
-                sub, store.pts[slot], p2, ok, iters=vc.ransac_iters,
-                inlier_threshold=vc.inlier_threshold)
+            if vc.bootstrap_model_select:
+                # E/H model selection while only the bootstrap keyframe
+                # exists (mirrors KeyframeSLAM.process -- see
+                # VOConfig.bootstrap_model_select); lax.cond keeps the
+                # homography RANSAC off the steady-state path
+                def _bootstrap_pose(op):
+                    sub, p1, p2, ok = op
+                    o = homography.select_model(
+                        sub, p1, p2, ok, iters=vc.ransac_iters,
+                        e_threshold=vc.inlier_threshold,
+                        h_threshold=vc.inlier_threshold)
+                    return o["R"], o["t"], o["inliers"], o["num_inliers"]
+
+                def _essential_pose(op):
+                    sub, p1, p2, ok = op
+                    o = ransac.ransac_essential(
+                        sub, p1, p2, ok, iters=vc.ransac_iters,
+                        inlier_threshold=vc.inlier_threshold)
+                    return o["R"], o["t"], o["inliers"], o["num_inliers"]
+
+                R_, t_, inl_, ninl_ = jax.lax.cond(
+                    st.counters[0] == 1, _bootstrap_pose, _essential_pose,
+                    (sub, store.pts[slot], p2, ok))
+                out = {"R": R_, "t": t_, "inliers": inl_,
+                       "num_inliers": ninl_}
+            else:
+                out = ransac.ransac_essential(
+                    sub, store.pts[slot], p2, ok, iters=vc.ransac_iters,
+                    inlier_threshold=vc.inlier_threshold)
             n_inl = out["num_inliers"].astype(jnp.int32)
             # LOST when tracking collapses: hold the previous accepted pose
             # instead of chaining the degenerate RANSAC pose (matches

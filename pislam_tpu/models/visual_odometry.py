@@ -142,7 +142,12 @@ def vo_step(mc, vc, state: VOState, feats: Features, pts):
         # depths of the CURRENT frame's features in its camera, map units
         z2 = ((d1 * (p1 @ out["R"][2, :2] + out["R"][2, 2])) + tnorm[2]) * s
         dst = jnp.where(pair_ok & (z2 > 0), jnp.clip(idx2, 0), K)
-        depths_new = jnp.zeros(K + 1).at[dst].set(z2)[:K]
+        # min-scatter: two previous features matching the same current
+        # feature (possible with cross_check off) would make .set a
+        # nondeterministic last-writer; taking the nearer depth is a
+        # deterministic tie rule
+        depths_new = jnp.full(K + 1, jnp.inf).at[dst].min(z2)[:K]
+        depths_new = jnp.where(jnp.isfinite(depths_new), depths_new, 0.0)
         depths_new = jnp.where(good, depths_new, jnp.zeros(K))
         tstep = s * tnorm
         step_scale_new = jnp.where(good, s, state.step_scale)

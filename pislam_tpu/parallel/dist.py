@@ -423,7 +423,7 @@ def shard_ba_problem(p: ba.BAProblem, n_shards: int) -> ba.BAProblem:
 
 def make_distributed_ba(mesh: Mesh, iters: int = 8, damping: float = 1e-4,
                         axis: str = "model", solver: str = "dense",
-                        cg_iters: int = 64):
+                        cg_iters: int = 64, huber: float = 0.0):
     """Jitted model-parallel bundle adjustment over `mesh`.
 
     Expects a problem laid out by shard_ba_problem(n_shards=mesh axis size):
@@ -449,7 +449,8 @@ def make_distributed_ba(mesh: Mesh, iters: int = 8, damping: float = 1e-4,
 
     def local(prob):
         return ba.ba_iterations(prob, iters, damping, axis_name=axis,
-                                solver=solver, cg_iters=cg_iters)
+                                solver=solver, cg_iters=cg_iters,
+                                huber=huber)
 
     @jax.jit
     def run(prob: ba.BAProblem):
