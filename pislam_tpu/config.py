@@ -165,6 +165,20 @@ class VOConfig:
     # self-similar texture: eval_seq3 frame 45, rot_err 10 -> 175 deg).
     # 0 disables.
     max_rel_rotation_deg: float = 60.0
+    # guided frame-to-frame matching (models/visual_odometry.py): match
+    # through a proximity gate on the normalised plane (matching.
+    # match_gated with the previous frame's point as each feature's
+    # predicted position -- inter-frame motion is small at tracking
+    # frame rates). Beyond the search-space cut this fixes the ratio
+    # test's statistics on repetitive texture, exactly like the map
+    # gate. 0 disables; measured verdict in tools/ab_vo_guided.py.
+    guided_radius: float = 0.0
+    # two-view pose refinement: after RANSAC, triangulate the inlier
+    # correspondences at the unit-baseline relative pose and refine the
+    # relative pose by motion-only BA against them (backend/pnp.py) --
+    # squeezes the last reprojection error out of the 8-point solution.
+    # Measured verdict in tools/ab_vo_guided.py.
+    refine_two_view: bool = False
     # triangulated-depth scale propagation (models/visual_odometry.py):
     # scale each VO step by the median depth ratio of features shared
     # across three consecutive frames, instead of the unit-norm |t|=1
@@ -223,16 +237,17 @@ class BAConfig:
     # out-of-window FIXED observer cameras per windowed-BA problem
     # (ORB-SLAM's local-BA "fixed keyframes"): keyframes outside the
     # window that observe window landmarks contribute their reprojection
-    # residuals with FROZEN poses. They anchor the monocular scale AND
-    # the direction of the window's geometry to the older map -- without
-    # them the window's scale gauge is free relative to the rest of the
-    # map and the Huber kernel makes scale drift cheap (measured on
-    # eval_seq2: the bootstrap baseline collapsed 1.0 -> 0.004 map
-    # units); pinning two in-window cameras instead (the n_fixed=2
-    # fallback, still used when no observers exist) froze early-window
-    # error into the map (eval_seq3 pre-closure 0.067 -> 0.130). 0
-    # disables (old behaviour).
-    fixed_observers: int = 8
+    # residuals with FROZEN poses, anchoring the window's scale and
+    # orientation to the older map. Default 0 (the n_fixed=2 two-pinned-
+    # camera scale anchor instead): measured on the committed sequences
+    # the observer count is violently unstable -- pre-closure keyframe
+    # ATE at fixed_observers 0/2/4/8: eval_seq3 0.130/0.418/0.085/0.093,
+    # eval_seq4 0.339/0.770/0.412/0.779 -- frozen observer error feeds
+    # forward window-over-window (eval_seq4 step-length ratios contracted
+    # to 0.1-0.2x under fo=8, tools/diag_tracking.py), so a wrong anchor
+    # compounds instead of averaging out. The n_fixed=2 fallback is
+    # stable across all four sequences (0.102/0.352/0.130/0.339).
+    fixed_observers: int = 0
     # select the BA window by covisibility (newest keyframe + its most
     # covisible partners, the ORB-SLAM local-BA neighbourhood) instead of
     # the last `window` keyframes temporally. Helps after loop closures /

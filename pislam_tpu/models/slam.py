@@ -1294,9 +1294,10 @@ class KeyframeSLAM:
         self.metrics.count("loop_obs_fused", n_fuse)
         return n_fuse
 
-    def try_close_loop(self, min_matches: int = 40, exclude_recent: int = 3,
-                       exclude_covisible_weight: int = 0):
-        """Detect a loop for the newest keyframe and optimise the pose graph.
+    def _detect_loop(self, min_matches: int = 40, exclude_recent: int = 3,
+                     exclude_covisible_weight: int = 0):
+        """Loop detection + metric measurement + fusion (shared by
+        try_close_loop and close_loop).
 
         The loop pose is measured METRICALLY when possible: the current
         keyframe is PnP-localised against the landmark union of the
@@ -1308,7 +1309,7 @@ class KeyframeSLAM:
         relative poses are BA-refined local geometry, so the multi-edge
         fan constrains the closure far better than a single noisy edge).
         The PnP-inlier associations are also fused into the observation
-        table (`_fuse_loop_observations`) so the subsequent global BA
+        table (`_fuse_loop_observations`) so a subsequent global BA
         enforces the closure on the map geometry itself. When the old
         neighbourhood has no usable landmarks the edge falls back to the
         monocular essential-matrix measurement with its translation scale
@@ -1319,10 +1320,10 @@ class KeyframeSLAM:
         (ORB-SLAM's covisibility-consistency rule: a keyframe already
         connected to the query through the map is the local neighbourhood,
         not a loop -- a "closure" against it adds no new constraint).
-        Returns the matched keyframe ordinal, or -1 if no loop was found.
+        Returns (matched ordinal, pose-graph edges), or None.
         """
         if self._num_kf < exclude_recent + 2:
-            return -1
+            return None
         m = self.metrics
         cur_slot = (self._num_kf - 1) % self.capacity
         desc, kvalid, pts, R_cur, t_cur = self._slot_rows(cur_slot)
@@ -1337,7 +1338,7 @@ class KeyframeSLAM:
                 feats_like, pts, exclude_recent=exclude_recent,
                 min_matches=min_matches, exclude_slots=excl)
         if idx < 0:
-            return -1
+            return None
         old_slot = idx % self.capacity
         R_old = np.asarray(self._st.store.R[old_slot])
         t_old = np.asarray(self._st.store.t[old_slot])
@@ -1382,10 +1383,135 @@ class KeyframeSLAM:
             # matched keyframe
             edges = [(idx, cur_ord, R_old.T @ R_meas,
                       R_old.T @ (t_meas - t_old), float(n_sup))]
+        return idx, edges
+
+    def try_close_loop(self, min_matches: int = 40, exclude_recent: int = 3,
+                       exclude_covisible_weight: int = 0):
+        """Detect a loop for the newest keyframe and optimise the pose
+        graph (see `_detect_loop` for the measurement). The primitive
+        closure; `close_loop` is the production pipeline with the
+        measured graph-vs-BA-only selection. Returns the matched keyframe
+        ordinal, or -1 if no loop was found."""
+        det = self._detect_loop(min_matches, exclude_recent,
+                                exclude_covisible_weight)
+        if det is None:
+            return -1
+        idx, edges = det
+        with self.metrics.timer("pose_graph"):
+            self.optimise_pose_graph(loop_edges=edges)
+        self.metrics.count("loops_closed")
+        return idx
+
+    def map_consistency(self, obs_ref=None):
+        """Mean Huber-robust reprojection cost per valid observation of
+        the whole map at the current poses (gt-free). The model-selection
+        metric for close_loop: a closure path that leaves the map
+        internally strained scores high.
+
+        ``obs_ref`` optionally FREEZES the observation set (a host tuple
+        (kf, lm, uv, valid) captured earlier): the cost is then evaluated
+        over that fixed set regardless of what the branch culled since.
+        Without it the metric is Goodhart-able -- a branch can cull its
+        worst rows and score well on the survivors (measured on
+        eval_seq4: the graph branch culled ~4k rows across three BA/cull
+        rounds, undercut the geometry branch's cost and won the
+        selection at 0.388-vs-0.339 ATE). Returns (mean_cost, num_obs).
+        """
+        st = self._st
+        if obs_ref is None:
+            okf, olm, ouv, ov = jax.device_get(
+                (st.obs.kf, st.obs.lm, st.obs.uv, st.obs.valid))
+        else:
+            okf, olm, ouv, ov = obs_ref
+        kv = np.asarray(st.store.valid)
+        lv = np.asarray(st.lmap.valid) if obs_ref is None else \
+            np.ones(st.lmap.capacity, bool)
+        sel = ov & kv[okf] & lv[olm]
+        n = int(sel.sum())
+        if n == 0:
+            return 0.0, 0
+        R = np.asarray(st.store.R)[okf[sel]]
+        t = np.asarray(st.store.t)[okf[sel]]
+        X = np.asarray(st.lmap.xyz)[olm[sel]]
+        xc = np.einsum("nij,nj->ni", R, X) + t
+        z = np.maximum(xc[:, 2], 1e-6)
+        r = xc[:, :2] / z[:, None] - ouv[sel]
+        rn = np.linalg.norm(r, axis=1)
+        h = self.cfg.ba.huber or 6e-3
+        rho = np.where(rn <= h, rn * rn, h * (2 * rn - h))
+        return float(rho.mean()), n
+
+    def close_loop(self, min_matches: int = 40, exclude_recent: int = 3,
+                   exclude_covisible_weight: int = 0):
+        """Production loop closure: detect + measure + fuse, then pick
+        the better of two closure mechanisms BY MEASUREMENT.
+
+        After `_detect_loop` fuses the PnP-inlier associations into the
+        observation table, two candidate end states are computed from the
+        same snapshot: (A) global BA + cull against the fused
+        observations alone, and (B) pose-graph optimisation over the
+        weighted loop edges first, then the same BA + cull. The state
+        with the lower `map_consistency` cost wins (gt-free model
+        selection). Measured rationale (this round, all four committed
+        sequences): the graph delivers the large correction when drift
+        dominates, but when the anchor segment itself is misplaced
+        (eval_seq2's degenerate bootstrap) or drift is at the edge-noise
+        floor, it REGRESSES keyframe ATE 0.35->0.50 while branch A holds
+        it -- and the consistency costs separate the two cases by 7-150x
+        (tools/ab_closure.py). Returns {"loop", "used_graph"}.
+        """
+        det = self._detect_loop(min_matches, exclude_recent,
+                                exclude_covisible_weight)
+        if det is None:
+            return {"loop": -1, "used_graph": False}
+        idx, edges = det
+        m = self.metrics
+        snap = self.state
+        # frozen judgement set: the post-fusion observation table. Both
+        # branches are scored against THESE rows whatever they cull, so
+        # a branch cannot win by discarding its evidence (see
+        # map_consistency's Goodhart note).
+        obs_ref = jax.device_get((snap.obs.kf, snap.obs.lm, snap.obs.uv,
+                                  snap.obs.valid))
+
+        def refine():
+            # three BA/cull rounds: each round converges against the
+            # fused constraints, the cull drops the associations that
+            # remained gross outliers, and the next round re-converges
+            # the cleaned map (measured on eval_seq3 keyframe ATE:
+            # one round 0.134, two 0.116, three 0.102)
+            for _ in range(3):
+                self.global_ba()
+                self.cull_landmarks()
+
+        # branch A: geometry-only closure (fused observations -> BA)
+        refine()
+        cost_ba, _ = self.map_consistency(obs_ref)
+        state_ba = self.state
+        # branch B: pose graph first, then the identical refinement (NO
+        # extra steps -- an asymmetric branch breaks the cost
+        # comparability: adding re-triangulation to B lowered its
+        # consistency below A's while its ATE was worse, a measured
+        # mispick on eval_seq4)
+        self.set_state(snap)
         with m.timer("pose_graph"):
             self.optimise_pose_graph(loop_edges=edges)
+        refine()
+        cost_graph, _ = self.map_consistency(obs_ref)
+        # the graph branch must be CLEARLY better to win: when the two
+        # costs land within ~10% the comparison is inside its own noise
+        # (measured: a 3.1u-vs-3.1u tie on eval_seq3 where the graph
+        # branch was 0.146 vs 0.102 ATE), and the geometry-only branch is
+        # the conservative default (never regressed a sequence by more
+        # than float noise across the committed four)
+        used_graph = cost_graph < 0.9 * cost_ba
+        if not used_graph:
+            self.set_state(state_ba)
         m.count("loops_closed")
-        return idx
+        if used_graph:
+            m.count("loops_closed_graph")
+        return {"loop": idx, "used_graph": used_graph,
+                "cost_ba": cost_ba, "cost_graph": cost_graph}
 
     def _relocalise_feats(self, feats, pts, min_matches: int = 30):
         """Localise extracted features against the keyframe map.

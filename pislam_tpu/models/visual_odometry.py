@@ -90,11 +90,23 @@ def vo_step(mc, vc, state: VOState, feats: Features, pts):
     device-resident ``make_vo_scan`` sequence scan, so the two are the same
     program per frame.
     """
-    idx2, dist = matching.match(
-        state.prev.descriptors, feats.descriptors,
-        state.prev.valid, feats.valid,
-        max_distance=mc.max_distance, ratio=mc.ratio,
-        cross_check=mc.cross_check)
+    if vc.guided_radius > 0:
+        # guided matching: the previous frame's own position is each
+        # feature's motion prediction at tracking frame rates -- the gate
+        # cuts the search space AND fixes the ratio-test statistics on
+        # repetitive texture (VOConfig.guided_radius)
+        idx2, dist = matching.match_gated(
+            state.prev.descriptors, feats.descriptors,
+            state.prev.valid, feats.valid,
+            state.prev_pts, pts, vc.guided_radius,
+            max_distance=mc.max_distance, ratio=mc.ratio,
+            cross_check=mc.cross_check)
+    else:
+        idx2, dist = matching.match(
+            state.prev.descriptors, feats.descriptors,
+            state.prev.valid, feats.valid,
+            max_distance=mc.max_distance, ratio=mc.ratio,
+            cross_check=mc.cross_check)
     ok = idx2 >= 0
     p1 = state.prev_pts
     p2 = pts[jnp.clip(idx2, 0)]
@@ -102,6 +114,31 @@ def vo_step(mc, vc, state: VOState, feats: Features, pts):
     out = ransac.ransac_essential(
         sub, p1, p2, ok, iters=vc.ransac_iters,
         inlier_threshold=vc.inlier_threshold)
+    if vc.refine_two_view:
+        # two-view refinement: triangulate the RANSAC inliers at the
+        # unit-baseline relative pose and polish the relative pose by
+        # motion-only BA against them (VOConfig.refine_two_view). The
+        # refined translation is re-normalised below, so the |t|=1 scale
+        # convention is untouched.
+        from ..backend import pnp
+
+        t_u = out["t"] / jnp.maximum(jnp.linalg.norm(out["t"]), 1e-9)
+        z1 = _depths_along_ray1(out["R"], t_u, p1, p2)
+        x_c1 = z1[:, None] * jnp.concatenate(
+            [p1, jnp.ones_like(p1[..., :1])], -1)
+        tri_ok = out["inliers"] & ok & (z1 > 1e-4) & jnp.isfinite(z1)
+        ref = pnp.motion_only_ba(
+            out["R"], t_u, x_c1, p2, tri_ok, iters=6,
+            inlier_threshold=vc.inlier_threshold)
+        accept = (ref["num_inliers"] >= out["num_inliers"]) \
+            & jnp.all(jnp.isfinite(ref["R"])) \
+            & jnp.all(jnp.isfinite(ref["t"]))
+        out = {"R": jnp.where(accept, ref["R"], out["R"]),
+               "t": jnp.where(accept, ref["t"], out["t"]),
+               "inliers": jnp.where(accept, ref["inliers"],
+                                    out["inliers"]),
+               "num_inliers": jnp.where(accept, ref["num_inliers"],
+                                        out["num_inliers"])}
     good = out["num_inliers"] >= vc.min_inliers
     if vc.max_rel_rotation_deg > 0:
         # motion-continuity guard (matches models/slam.py): a huge

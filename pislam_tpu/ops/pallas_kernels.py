@@ -677,14 +677,18 @@ def _match_reduce_gated_kernel(a_ref, b_ref, v1_ref, v2_ref,
 
 
 def match_reduce(a_pm1, b_pm1, valid1, valid2,
-                 uv1=None, uv2=None, radius=None):
+                 uv1=None, uv2=None, radius=None,
+                 block=None, block_k2=None):
     """Row-wise (best, second, argmin) + column-wise first-argmin of the
     Hamming distance matrix between +-1-expanded descriptors.
 
     a_pm1 (K1, nbits) i8, b_pm1 (K2, nbits) i8. Returns
     (best (K1,), second (K1,), idx (K1,), col_argmin (K2,)) int32, matching
-    matching.py's XLA reductions exactly. K1 is padded to MATCH_BLOCK and
-    K2 to MATCH_BLOCK_K2 (when larger than one tile) with invalid slots.
+    matching.py's XLA reductions exactly. K1 is padded to the row block and
+    K2 to the database block (when larger than one tile) with invalid
+    slots. ``block``/``block_k2`` override the default tile sizes
+    (MATCH_BLOCK / MATCH_BLOCK_K2) -- the roofline knob swept by
+    tools/ab_match_blocks.py at map-scale K2.
 
     With uv1 (K1, 2), uv2 (K2, 2) f32 and a radius (python float), pairs
     farther apart than radius on the normalised plane are pinned to
@@ -692,11 +696,13 @@ def match_reduce(a_pm1, b_pm1, valid1, valid2,
     projection gate (bit-identical float semantics; padded slots get
     coordinate 0 but are already invalid).
     """
+    blk = MATCH_BLOCK if block is None else block
+    blk2 = MATCH_BLOCK_K2 if block_k2 is None else block_k2
     k1, nbits = a_pm1.shape
     k2 = b_pm1.shape[0]
     gated = radius is not None
-    pad = (-k1) % MATCH_BLOCK
-    pad2 = (-k2) % MATCH_BLOCK_K2 if k2 > MATCH_BLOCK_K2 else 0
+    pad = (-k1) % blk
+    pad2 = (-k2) % blk2 if k2 > blk2 else 0
     if pad or pad2:
         za = jnp.zeros((pad, nbits), a_pm1.dtype)
         zb = jnp.zeros((pad2, nbits), b_pm1.dtype)
@@ -709,18 +715,19 @@ def match_reduce(a_pm1, b_pm1, valid1, valid2,
                 [uv1, jnp.zeros((pad, 2), jnp.float32)]),
             None if not gated else jnp.concatenate(
                 [uv2, jnp.zeros((pad2, 2), jnp.float32)]),
-            radius)
+            radius, block=block, block_k2=block_k2)
         return best[:k1], second[:k1], idx[:k1], carg[:k2]
-    bk2 = min(k2, MATCH_BLOCK_K2)
-    grid = (k1 // MATCH_BLOCK, k2 // bk2)
-    col = lambda: pl.BlockSpec((MATCH_BLOCK, 1), lambda i, j: (i, 0),
+    MATCH_BLOCK_ = blk
+    bk2 = min(k2, blk2)
+    grid = (k1 // MATCH_BLOCK_, k2 // bk2)
+    col = lambda: pl.BlockSpec((MATCH_BLOCK_, 1), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM)
-    row_in = lambda: pl.BlockSpec((MATCH_BLOCK, 1), lambda i, j: (i, 0),
+    row_in = lambda: pl.BlockSpec((MATCH_BLOCK_, 1), lambda i, j: (i, 0),
                                   memory_space=pltpu.VMEM)
     db_in = lambda: pl.BlockSpec((1, bk2), lambda i, j: (0, j),
                                  memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((MATCH_BLOCK, nbits), lambda i, j: (i, 0),
+        pl.BlockSpec((MATCH_BLOCK_, nbits), lambda i, j: (i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((bk2, nbits), lambda i, j: (j, 0),
                      memory_space=pltpu.VMEM),
@@ -752,7 +759,7 @@ def match_reduce(a_pm1, b_pm1, valid1, valid2,
             jax.ShapeDtypeStruct((k1, 1), jnp.int32),
             jax.ShapeDtypeStruct((k1, 1), jnp.int32),
             jax.ShapeDtypeStruct((k1, 1), jnp.int32),
-            jax.ShapeDtypeStruct((k1 // MATCH_BLOCK, 2, k2), jnp.int32),
+            jax.ShapeDtypeStruct((k1 // MATCH_BLOCK_, 2, k2), jnp.int32),
         ],
     )(*args)
     # merge the per-row-block column states: global min, first-occurrence

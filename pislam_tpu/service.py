@@ -261,14 +261,13 @@ def main(argv=None):
                 >= args.loop_every
                 and slam.num_keyframes >= 5):
             last_loop_kf[0] = slam.keyframes_inserted
-            if slam.try_close_loop() >= 0:
+            # close_loop's measured selection makes mid-run closure
+            # safe-by-construction: the branch that strains the map
+            # (historically, BA-after-each-graph-closure locked in
+            # over-correction: 0.67 -> 0.78 on the 224-frame sequence)
+            # loses the map_consistency comparison and is rolled back
+            if slam.close_loop()["loop"] >= 0:
                 loops_closed[0] += 1
-                # deliberately NO global BA here (unlike the end-of-run
-                # closure): re-converging the map against a noise-floor
-                # closure LOCKS IN the over-correction -- measured on the
-                # 224-frame sequence, BA-after-each-closure regressed ATE
-                # on both CPU (0.67 -> 0.78) and TPU; the end-of-run BA
-                # refines once against the final graph instead
         if (args.cull_every and not args.localization_only
                 and slam.keyframes_inserted - last_cull_kf[0]
                 >= args.cull_every):
@@ -315,12 +314,9 @@ def main(argv=None):
     loop = -1
     if (not args.no_loop_close and not args.localization_only
             and slam.num_keyframes >= 5):
-        loop = slam.try_close_loop()
-        if loop >= 0:
-            # pose graph moved the keyframes; re-converge the landmarks,
-            # then drop the ones that still reproject badly
-            slam.global_ba()
-            slam.cull_landmarks()
+        # full closure pipeline with the measured graph-vs-BA-only
+        # selection (KeyframeSLAM.close_loop): includes global BA + cull
+        loop = slam.close_loop()["loop"]
 
     if args.traj_out:
         from .io.datasets import save_tum_trajectory

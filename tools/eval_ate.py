@@ -131,30 +131,25 @@ def main():
     est_slam = np.stack(slam.trajectory)
     kf_frames = slam.keyframe_frames
     kf_pre = slam.keyframe_positions()
-    loop = slam.try_close_loop(min_matches=40, exclude_recent=3)
-    kf_post_graph = slam.keyframe_positions()
-    # the full production closure pipeline (service.py): pose graph, then
-    # global BA re-converges the landmarks against the moved keyframes,
-    # then reprojection culling. On the held-out eval_seq2 the pose graph
-    # alone over-corrects (0.154 -> 0.196) and global BA recovers it
-    # (0.155); on eval_seq both land at 0.045.
-    if loop >= 0:
-        slam.global_ba()
-        slam.cull_landmarks()
+    # the full production closure pipeline (service.py):
+    # KeyframeSLAM.close_loop -- detection + neighbourhood PnP + fusion,
+    # then the measured selection between the geometry-only (BA) and the
+    # pose-graph closure branch (map_consistency model selection)
+    out = slam.close_loop(min_matches=40, exclude_recent=3)
+    loop = out["loop"]
     kf_post = slam.keyframe_positions()
 
     report = {"metric": "trajectory_ate",
               "frames": int(frames.shape[0]),
               "keyframes": len(kf_frames),
-              "loop_closed_to_kf": int(loop)}
+              "loop_closed_to_kf": int(loop),
+              "closure_used_graph": bool(out["used_graph"])}
     if gt is not None:
         gt_kf = gt[np.asarray(kf_frames)]
         report.update({
             "vo_ate_rmse": round(float(ate_rmse(est_vo, gt)), 4),
             "slam_ate_rmse": round(float(ate_rmse(est_slam, gt)), 4),
             "kf_ate_pre_closure": round(float(ate_rmse(kf_pre, gt_kf)), 4),
-            "kf_ate_post_graph": round(float(
-                ate_rmse(kf_post_graph, gt_kf)), 4),
             "kf_ate_post_closure": round(float(ate_rmse(kf_post, gt_kf)), 4),
             "path_length_m": round(float(
                 np.linalg.norm(np.diff(gt, axis=0), axis=1).sum()), 2),
