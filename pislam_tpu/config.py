@@ -300,15 +300,19 @@ class MapConfig:
     # unlike the pose-rescaling alternatives, which traded one sequence
     # against another.
     keyframe_on_map_dropout: bool = True
-    # chunk-boundary re-triangulation (models/slam.py:process_chunk): the
-    # device-resident scan triangulates in-chunk landmarks against poses
-    # windowed BA has not yet refined, and boundary BA alone cannot undo a
-    # bad linearisation point (measured: repeating it 3x only recovered
-    # eval_seq4 chunk-8 online ATE 0.78 -> 0.75). With this on, landmarks
-    # created inside a multi-frame chunk are re-triangulated from their
-    # first two observations using the BA-refined poses, then BA runs once
-    # more. Chunk size 1 never re-triangulates (parity with process()).
-    chunk_retriangulate: bool = True
+    # chunk-boundary re-triangulation (models/slam.py:process_chunk):
+    # landmarks created inside a multi-frame chunk are re-triangulated
+    # from their first two observations using the boundary-BA-refined
+    # poses, then BA runs once more. Built for the round-4 chunk accuracy
+    # gap (chunk-8 eval_seq4 online ATE 0.78 vs 0.44 -- in-chunk inserts
+    # triangulated against unrefined poses), but the HUBER windowed BA
+    # closed that gap by itself and re-triangulation now measurably
+    # HURTS: tools/ab_chunk_accuracy.py (2026-08-20) eval_seq4 chunk-8
+    # off 0.398 / on 0.439, chunk-4 off 0.386 / on 0.466 (host loop
+    # 0.358) -- resetting robust-BA-refined landmarks to raw two-view
+    # geometry discards refinement. Default OFF; chunk size 1 never
+    # re-triangulates either way (parity with process()).
+    chunk_retriangulate: bool = False
     # neighbourhood loop closure (models/slam.py:try_close_loop): the loop
     # pose is PnP-measured against the UNION of landmarks observed by the
     # matched keyframe and its most covisible neighbours, and one weighted

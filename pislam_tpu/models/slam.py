@@ -589,13 +589,11 @@ class KeyframeSLAM:
         to float tolerance (tests/test_slam_scan.py -- one fused program
         vs several jit boundaries is not bitwise);
         larger chunks amortise the tunnel's per-dispatch/sync cost over T
-        frames at a measured accuracy cost that grows with session length
-        (eval_seq4, 224 frames, chunk 8 vs the per-frame loop: online ATE
-        0.78 vs 0.44 -- the in-chunk inserts triangulate against geometry
-        BA has not yet refined, which post-hoc boundary BA cannot undo:
-        repeating it 3x per boundary only recovered 0.78 -> 0.75). Use
-        chunk 1 when accuracy dominates, larger chunks when the ~30 ms
-        per-dispatch tunnel cost does. Only available with the
+        frames at a small measured accuracy cost (eval_seq4, 224 frames,
+        chunk 8 vs the per-frame loop: online ATE 0.398 vs 0.358, ~11% --
+        round 4 measured 0.78 vs 0.44 before the Huber windowed BA; the
+        full table and the re-triangulation negative are in
+        tools/ab_chunk_accuracy.py). Only available with the
         real image frontend (an injected features_fn is host code and
         cannot be traced into the scan). Returns the per-frame outputs dict.
         """

@@ -599,6 +599,12 @@ def orb_select_bits_sorted(flat, gm_packed):
 MATCH_BLOCK = 256
 MATCH_BLOCK_K2 = 2048  # database columns per VMEM tile (i8: 512 KB)
 MATCH_MAX = 1 << 14   # matching.MAX_DIST (sentinel > any Hamming distance)
+# database rows per kernel DISPATCH: above this K2 the call is split into
+# segments merged in XLA with the kernel's exact rule -- XLA's scoped-vmem
+# pass pins the custom-call results in VMEM and at K2=131072 that
+# allocation overflows the 16M ceiling at compile time (measured: 18.69M,
+# independent of the column-state output layout)
+MATCH_SEGMENT_K2 = 65536
 
 
 def _match_accumulate(d, best_ref, second_ref, idx_ref, col_ref):
@@ -635,14 +641,17 @@ def _match_accumulate(d, best_ref, second_ref, idx_ref, col_ref):
     # per-(row block, db block) column min / first-argmin. Accumulating
     # across row blocks in a j-indexed output is illegal with j innermost
     # (non-contiguous block revisits); instead each (i, j) writes its own
-    # (2, BK2) tile and the tiny (I, 2, K2) cross-row-block merge happens
-    # in XLA after the call.
+    # (1, BK2) tiles and the tiny (I, K2) cross-row-block merge happens
+    # in XLA after the call. Two flat 2-D outputs, NOT one (I, 2, K2)
+    # 3-D output: at K2=131072 the 3-D form made Mosaic hold the whole
+    # (8, 2, 131072) result in scoped VMEM (18.69M > the 16M ceiling).
     rows = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
     cmin = jnp.min(d, axis=0, keepdims=True)             # (1, BK2)
     rfirst = jnp.where(d == cmin, rows, d.shape[0])
     carg = (jnp.min(rfirst, axis=0, keepdims=True)
             + i * d.shape[0]).astype(jnp.int32)
-    col_ref[0] = jnp.concatenate([cmin, carg], axis=0)   # (2, BK2)
+    col_ref[0, 0:1] = cmin
+    col_ref[0, 1:2] = carg
 
 
 def _match_distance_tile(a_ref, b_ref, v1_ref, v2_ref, *, nbits):
@@ -696,11 +705,41 @@ def match_reduce(a_pm1, b_pm1, valid1, valid2,
     projection gate (bit-identical float semantics; padded slots get
     coordinate 0 but are already invalid).
     """
-    blk = MATCH_BLOCK if block is None else block
-    blk2 = MATCH_BLOCK_K2 if block_k2 is None else block_k2
     k1, nbits = a_pm1.shape
     k2 = b_pm1.shape[0]
+    # row-block auto-selection (tools/ab_match_blocks.py, real chip,
+    # interleaved, bit-identical): 256 rows win at frame/K2<=16k scale
+    # (0.171 vs 0.193 ms ungated at 16384) but 512 rows win ~8% at map
+    # segment scale (1.380 vs 1.498 ms at K2=131072) -- bigger row blocks
+    # amortise the database stream when the K2 loop dominates
+    blk = (512 if k2 > 16384 else MATCH_BLOCK) if block is None else block
+    blk2 = MATCH_BLOCK_K2 if block_k2 is None else block_k2
     gated = radius is not None
+    if k2 > MATCH_SEGMENT_K2:
+        # segment the database and merge with the kernel's exact rules
+        # (strict-< keeps the first occurrence; second' = min(max(bA,bB),
+        # sA, sB); per-segment column argmins are already complete)
+        seg = MATCH_SEGMENT_K2
+        best = second = idx = None
+        cargs = []
+        for lo in range(0, k2, seg):
+            hi = min(k2, lo + seg)
+            b2, s2, i2, ca = match_reduce(
+                a_pm1, b_pm1[lo:hi], valid1, valid2[lo:hi],
+                None if not gated else uv1,
+                None if not gated else uv2[lo:hi],
+                radius, block=block, block_k2=block_k2)
+            i2 = i2 + lo
+            cargs.append(ca)
+            if best is None:
+                best, second, idx = b2, s2, i2
+            else:
+                take_new = b2 < best
+                second = jnp.minimum(jnp.minimum(second, s2),
+                                     jnp.maximum(best, b2))
+                idx = jnp.where(take_new, i2, idx)
+                best = jnp.minimum(best, b2)
+        return best, second, idx, jnp.concatenate(cargs)
     pad = (-k1) % blk
     pad2 = (-k2) % blk2 if k2 > blk2 else 0
     if pad or pad2:
@@ -748,18 +787,24 @@ def match_reduce(a_pm1, b_pm1, valid1, valid2,
                  uv2[:, 0].reshape(1, k2), uv2[:, 1].reshape(1, k2)]
     else:
         kern = functools.partial(_match_reduce_kernel, nbits=nbits)
+    # column state rides an (I, 8, K2) output with natural (8, bk2)
+    # tiles: row 0 = per-(row block, db block) column min, row 1 = its
+    # first-argmin, rows 2..7 unused. The previous (I, 2, K2) form's
+    # T(2, 128) tiling made XLA hold the whole result in scoped VMEM at
+    # K2=131072 (18.69M > the 16M ceiling -- measured OOM at compile);
+    # the 8-sublane form tiles natively and lands in HBM.
     best, second, idx, colstate = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs,
         out_specs=[col(), col(), col(),
-                   pl.BlockSpec((1, 2, bk2), lambda i, j: (i, 0, j),
+                   pl.BlockSpec((1, 8, bk2), lambda i, j: (i, 0, j),
                                 memory_space=pltpu.VMEM)],
         out_shape=[
             jax.ShapeDtypeStruct((k1, 1), jnp.int32),
             jax.ShapeDtypeStruct((k1, 1), jnp.int32),
             jax.ShapeDtypeStruct((k1, 1), jnp.int32),
-            jax.ShapeDtypeStruct((k1 // MATCH_BLOCK_, 2, k2), jnp.int32),
+            jax.ShapeDtypeStruct((k1 // MATCH_BLOCK_, 8, k2), jnp.int32),
         ],
     )(*args)
     # merge the per-row-block column states: global min, first-occurrence

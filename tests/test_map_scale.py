@@ -75,8 +75,12 @@ def populate(cfg, seed=0):
         descriptors=jnp.asarray(desc),
         kp_valid=jnp.asarray(kp_valid),
         pts=jnp.asarray(pts),
-        frame_id=jnp.asarray(np.arange(KF_CAP, dtype=np.int32)),
-        ordinal=jnp.asarray(np.arange(KF_CAP, dtype=np.int32)),
+        frame_id=jnp.asarray(np.where(np.arange(KF_CAP) < N_KF,
+                                      np.arange(KF_CAP), -1)
+                             .astype(np.int32)),
+        ordinal=jnp.asarray(np.where(np.arange(KF_CAP) < N_KF,
+                                     np.arange(KF_CAP), -1)
+                            .astype(np.int32)),
         valid=jnp.asarray(np.arange(KF_CAP) < N_KF),
     )
     # landmarks: in front of the path (z ~ 4..8), distinct descriptors
@@ -129,7 +133,7 @@ def test_sharded_map_scale_session():
     # synthetic query: 400 true landmark views from the LAST keyframe's
     # pose + 112 junk features
     rng = np.random.default_rng(1)
-    R0 = np.eye(3, np.float32)
+    R0 = np.eye(3, dtype=np.float32)
     t0 = np.asarray(t_kf[N_KF - 1])
     lm_pick = rng.choice(N_LM, 400, replace=False)
     xc = xyz[lm_pick] + t0
@@ -163,7 +167,7 @@ def test_sharded_map_scale_session():
     # corrupt 5000 landmarks; their true-reprojection rows now miss badly
     st2 = slam._st
     bad = rng.choice(N_LM, 5000, replace=False)
-    xyz_bad = np.asarray(st2.lmap.xyz)
+    xyz_bad = np.array(st2.lmap.xyz)
     xyz_bad[bad] += 5.0
     slam._st = st2._replace(lmap=st2.lmap._replace(
         xyz=jnp.asarray(xyz_bad)))

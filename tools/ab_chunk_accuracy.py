@@ -17,8 +17,17 @@ ONLINE full-trajectory ATE (every frame, as tracked -- no closure),
 plus the per-frame host loop as the accuracy reference. CPU backend,
 deterministic.
 
-RESULT: see the JSON lines recorded at the bottom of this docstring
-after a run (kept in sync with the measured verdict).
+RESULT (2026-08-20, CPU, with the round-5 Huber BA + scale anchor):
+  {"seq": "eval_seq",  "loop": 0.1431, "chunk4_off": 0.3806, "chunk4_on": 0.2137, "chunk8_off": 0.1726, "chunk8_on": 0.2097}
+  {"seq": "eval_seq4", "loop": 0.3583, "chunk4_off": 0.3861, "chunk4_on": 0.4662, "chunk8_off": 0.3978, "chunk8_on": 0.4390}
+Verdict: the HUBER windowed BA closed the round-4 chunk gap by itself --
+eval_seq4 chunk-8 is 0.3978 vs the 0.3583 host loop (11%, inside the
+round-4 target of <= 0.50 / ~15%), where round 4 measured 0.78 vs 0.44.
+Re-triangulation (built for that gap) now HURTS on 3 of 4 cells
+(resetting robust-BA-refined landmarks to raw two-view geometry discards
+refinement; the eval_seq chunk-4 cell where it helps is the one spot a
+bad early insert dominates) -- map.chunk_retriangulate defaults OFF and
+the mechanism stays available for configs with sparser boundary BA.
 
 Run: python tools/ab_chunk_accuracy.py
 """

@@ -9,7 +9,22 @@ and ungated, all variants interleaved in ONE process per the verify
 playbook. Correctness: every variant's four reductions are asserted
 bit-identical to the default-tile kernel on hardware before timing.
 
-RESULT: recorded JSON line below after a hardware run.
+RESULT (2026-08-20, real chip, K1=2048, interleaved, all shapes
+bit-identical; (256,8192)/(512,4096) excluded -- their 8 MB distance
+tiles + temporaries overflow the 16 MB scoped-VMEM ceiling at compile):
+  K2=131072 (2x65536 segments):  u256x2048 1.498  u256x4096 1.512
+    u512x2048 1.380 ms | g256x2048 1.807  g256x4096 1.782
+    g512x2048 1.687 ms
+  K2=16384:                      u256x2048 0.171  u256x4096 0.191
+    u512x2048 0.193 ms | g256x2048 0.233  g256x4096 0.239
+    g512x2048 0.229 ms
+Verdict: the optimum is database-size-dependent -- 512-row blocks win
+~8% once the K2 stream dominates (the row block amortises each database
+tile over more MXU work), 256 wins at frame scale. match_reduce now
+auto-selects 512 rows for k2 > 16384. At the 131k best (1.380 ms):
+2*2048*131072*256 int8 MACs = 137.4 GOP -> ~100 TOPS ~ 25% of the v5e
+int8 MXU peak (round 4 measured 21% at 16k) -- one interleaved sample,
+same-day caveats apply (see the verify playbook).
 
 Run: python tools/ab_match_blocks.py [K2]
 """
@@ -54,8 +69,10 @@ def main():
                                  jax.lax.bitwise_xor, (0,))
                 ^ idx2[0].astype(jnp.uint32) ^ second[1].astype(jnp.uint32))
 
-    shapes = [(256, 2048), (256, 4096), (256, 8192), (512, 2048),
-              (512, 4096)]
+    # d-tile budget: (blk, bk2) i32 distance tile + its elementwise
+    # temporaries live in VMEM -- 8 MB tiles ((256,8192)/(512,4096))
+    # measurably overflow the 16 MB scoped ceiling at compile (18.69M)
+    shapes = [(256, 2048), (256, 4096), (512, 2048)]
 
     def make(blk, bk2, gated):
         def op(d):

@@ -24,8 +24,16 @@ Variants also measured and WORSE: prev-frame-relative step rescale
 seq 2x), ungated bootstrap fallbacks (bootstrap keyframe spacing IS the
 unit convention; tuning seq 0.087 -> 0.17..0.30), cap-only clamping
 (seq2 0.56, seq3 0.14). No realisable predictor is Pareto-better on
-both held-out sequences, so the DEFAULT STAYS OFF; the oracle gap
-(0.43 vs 0.35 online on seq2) remains open headroom.
+both held-out sequences, so the DEFAULT STAYS OFF.
+
+ROUND-5 CLOSURE OF THIS THREAD: the Huber-robust windowed BA + the
+two-camera monocular scale anchor (backend/ba.py, BAConfig.huber /
+n_fixed) attacked the same error term from the MAP side -- dropout
+frames take the phantom step, but robust BA no longer lets it poison
+the keyframe geometry -- and took eval_seq2 ONLINE SLAM ATE to 0.351
+(EVAL_r05.json), past the 0.40 target this prior family chased and
+past its 0.43-vs-0.35 oracle gap. The scoped variant (rescale only on
+dropout frames) is therefore moot on these sequences.
 
 Usage: python tools/ab_step_prior.py eval_seq,eval_seq2,eval_seq3
 """

@@ -11,7 +11,22 @@ full-trajectory ATE vs ground truth on all four committed sequences:
             against unit-baseline triangulations of the RANSAC inliers)
   g+r     : both
 
-RESULT: see the recorded JSON lines below after a run (kept in sync).
+RESULT (2026-08-20, CPU, radius 0.10):
+  {"seq": "eval_seq",  "base": 0.5005, "guided@0.1": 0.5006, "refine": 0.5005, "g+r": 0.5006}
+  {"seq": "eval_seq2", "base": 0.6024, "guided@0.1": 0.6070, "refine": 0.6024, "g+r": 0.6070}
+  {"seq": "eval_seq3", "base": 0.7923, "guided@0.1": 0.8051, "refine": 0.7923, "g+r": 0.8051}
+  {"seq": "eval_seq4", "base": 0.7456, "guided@0.1": 0.7188, "refine": 0.7456, "g+r": 0.7188}
+Verdict: a measured NEGATIVE on this scene family -- guided matching is
+a wash (-0.027 on eval_seq4, +0.013 on eval_seq3, noise elsewhere) and
+the two-view refinement is a no-op (its stricter reprojection inlier
+count never beats RANSAC's Sampson count, so the accept gate never
+fires). Consistent with the diagnostics: VO-only drift here is
+dominated by the |t|=1 monocular step-scale convention (per-frame
+step-length ratios 0.1-3x, tools/diag_tracking.py), NOT by match
+quality (rotation errors ~0.2 deg) -- and the scale family was already
+measured a wash (tools/ab_vo_scale.py). Both knobs default OFF; SLAM's
+map-PnP supplies the scale VO cannot, which is why the SLAM sibling is
+~3x more accurate on the same frames.
 
 Run: python tools/ab_vo_guided.py [radius]
 """
